@@ -1,0 +1,213 @@
+"""Wavefront path-tracing integrator: ``lax.scan`` over bounces.
+
+The TPU-native re-design of the reference's two light-transport loops (C3:
+recursive ``incident_light`` at ``/root/reference/src/renderer.c:21-74``;
+C9: the explicit ray *stack* at ``shaders/rtx_frag.glsl:194-274``). Instead
+of recursion or a per-pixel stack, the whole image is a **wavefront**: every
+pixel-sample advances one bounce per ``lax.scan`` iteration with throughput
+accumulation, and terminated rays become masked lanes — the SIMD-friendly
+form SURVEY.md SS3.2 calls for.
+
+Estimator: the GPU reference *branches* into a reflect ray weighted
+``(1 - transparency)`` and a refract ray weighted ``transparency``
+(rtx_frag.glsl:237-270). Branching does not map to SIMD lanes, so we use
+**single-path stochastic selection**: choose refraction with probability
+``transparency`` and keep the branch weight implicit. The expectation is
+identical — E[child] = (1-t)*reflect + t*refract — so the estimator is
+unbiased w.r.t. the reference, and for the common t in {0, 1} materials it
+is *exactly* the reference path. A ratio reparameterization keeps the
+estimator differentiable in ``transparency`` itself.
+
+Per-bounce semantics follow rtx_frag.glsl (the semantic spec per SURVEY.md
+SS7): emission then albedo (rtx_frag.glsl:226-230), roughness-perturbed
+normal (233-234), per-material IOR with entering/exit flip (249-259), TIR
+rays dropped (260-262), 1e-4 origin offsets (239, 263), sky on miss *and*
+on bounce exhaustion (212-221), MAX_BOUNCES+1 total trace rounds.
+
+RNG discipline: exactly 7 PCG draws per ray per bounce (3x2 for the unit
+sphere, 1 for branch selection), drawn unconditionally so every lane stays
+in lockstep — this fixed schedule is what lets the Pallas kernel and the
+scalar test reference reproduce the stream bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rng as _rng
+from ..ops.camera import Camera, pixel_indices, primary_rays
+from ..ops.intersect import trace
+from ..ops.sampling import perturb_normal, reflect, refract
+from ..scene.scene import Scene
+
+__all__ = ["trace_paths", "render_radiance", "render_image_u8", "DEFAULT_EPS_OFFSET"]
+
+DEFAULT_EPS_OFFSET = 1e-4  # rtx_frag.glsl:239,263
+EPS_OFFSET_SCALE = 4e-6  # extra offset per unit |hit point| (f32 round-off)
+
+
+def trace_paths(scene: Scene, origins, directions, state, max_bounces: int):
+    """Estimate incident radiance for a wavefront of rays.
+
+    Args:
+      scene: SoA scene pytree.
+      origins, directions: (N, 3) primary rays (directions unit).
+      state: (N,) uint32 counter-based RNG state (one stream per ray).
+      max_bounces: static bounce cap; ``max_bounces + 1`` trace rounds run,
+        matching the stack semantics of rtx_frag.glsl:212-214.
+
+    Returns:
+      (radiance (N, 3), final RNG state).
+    """
+    n = origins.shape[0]
+    sky = scene.sky_color[None, :]
+    mats = scene.materials
+    sg = jax.lax.stop_gradient
+
+    def step(carry, _):
+        o, d, thr, total, alive, st = carry
+        hit = trace(o, d, scene)
+
+        live = alive[:, None]
+        miss_now = alive & ~hit.mask
+        total = total + jnp.where(miss_now[:, None], thr * sky, 0.0)
+        alive = alive & hit.mask
+        live = alive[:, None]
+
+        m = hit.material
+        albedo = mats.albedo[m]
+        emission = mats.emission_color[m] * mats.emission_strength[m][:, None]
+        rough = mats.roughness[m]
+        transp = mats.transparency[m]
+        ior = mats.refractive_index[m]
+
+        # Le then albedo, in the reference's order (rtx_frag.glsl:226-230).
+        total = total + jnp.where(live, thr * emission, 0.0)
+        thr = jnp.where(live, thr * albedo, thr)
+
+        # Fixed 7-draw schedule: unit sphere (6) + branch uniform (1).
+        st, sph = _rng.unit_sphere(st)
+        st, u_branch = _rng.uniform(st)
+
+        nrm = perturb_normal(hit.normal, sph, rough)
+        refl_dir = reflect(d, nrm)
+
+        ndot = jnp.sum(d * nrm, axis=-1, keepdims=True)
+        entering = ndot < 0.0
+        eta = jnp.where(entering[..., 0], 1.0 / ior, ior)[:, None]
+        refr_normal = jnp.where(entering, nrm, -nrm)
+        refr_dir, tir = refract(d, refr_normal, eta)
+
+        choose_refr = u_branch < sg(transp)
+        # Ratio reparameterization: equals 1 in value but carries the
+        # d/d(transparency) of the reference's (1-t)/t branch weights.
+        ratio = jnp.where(
+            choose_refr,
+            transp / jnp.maximum(sg(transp), 1e-6),
+            (1.0 - transp) / jnp.maximum(sg(1.0 - transp), 1e-6),
+        )
+        thr = jnp.where(live, thr * ratio[:, None], thr)
+
+        new_d = jnp.where(choose_refr[:, None], refr_dir, refl_dir)
+        died = choose_refr & tir  # TIR refract rays are dropped (glsl:261-262)
+        alive = alive & ~died
+        live = alive[:, None]
+        new_d = jnp.where(died[:, None], d, new_d)
+        # Self-intersection offset. The reference uses a fixed 1e-4 step
+        # along the new direction (rtx_frag.glsl:239,263); in f32 that is
+        # smaller than the intersection round-off for large/distant
+        # geometry, so we instead step along the *geometric normal* (signed
+        # toward the side the ray departs on) with a magnitude that scales
+        # with the hit point's float spacing.
+        p = hit.point
+        offs = DEFAULT_EPS_OFFSET + EPS_OFFSET_SCALE * jnp.sqrt(
+            jnp.sum(p * p, axis=-1, keepdims=True)
+        )
+        side = jnp.where(
+            jnp.sum(new_d * hit.normal, axis=-1, keepdims=True) >= 0.0, 1.0, -1.0
+        )
+        new_o = p + offs * side * hit.normal
+        o = jnp.where(live, new_o, o)
+        d = jnp.where(live, new_d, d)
+        return (o, d, thr, total, alive, st), None
+
+    total = jnp.zeros_like(origins)
+    thr = jnp.ones_like(origins)
+    alive = jnp.ones((n,), dtype=bool)
+    carry = (origins, directions, thr, total, alive, state)
+    carry, _ = jax.lax.scan(step, carry, None, length=max_bounces + 1)
+    o, d, thr, total, alive, st = carry
+    # Bounce budget exhausted -> sky, like stack items popped with
+    # bounces > MAX_BOUNCES (rtx_frag.glsl:212-214).
+    total = total + jnp.where(alive[:, None], thr * sky, 0.0)
+    return total, st
+
+
+def render_radiance(
+    scene: Scene,
+    camera: Camera,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounces: int,
+    seed,
+    jitter: bool = False,
+    remat: bool = False,
+    sample_offset=0,
+):
+    """Monte-Carlo radiance image, mean over ``spp`` samples: (H, W, 3) f32.
+
+    Samples run as an outer ``lax.scan`` (memory O(H*W), any spp), each
+    sample a full wavefront over all pixels — the TPU replacement for the
+    per-pixel sample loops at rtx_frag.glsl:288-292 / src/renderer.c:104-108.
+    ``sample_offset`` shifts the global sample indices, which is how spp is
+    split across devices and how checkpoint/resume continues a render
+    without replaying samples.
+
+    ``remat`` wraps each sample in ``jax.checkpoint`` so reverse-mode AD
+    recomputes the bounce loop instead of storing per-bounce residuals
+    (HBM-bound backward; SURVEY.md SS5 memory note).
+    """
+    pix = pixel_indices(height, width)
+    rays = primary_rays(camera, height, width)
+
+    def one_sample(sample_idx):
+        st = _rng.seed_state(pix, sample_idx, seed)
+        if jitter:
+            o, d, st = primary_rays(camera, height, width, st)
+        else:
+            o, d = rays
+        radiance, _ = trace_paths(scene, o, d, st, max_bounces)
+        return radiance
+
+    if remat:
+        one_sample = jax.checkpoint(one_sample)
+
+    def body(accum, sample_idx):
+        return accum + one_sample(sample_idx), None
+
+    init = jnp.zeros((height * width, 3), jnp.float32)
+    sample_ids = jnp.arange(spp, dtype=jnp.int32) + jnp.int32(sample_offset)
+    accum, _ = jax.lax.scan(body, init, sample_ids)
+    return (accum / spp).reshape(height, width, 3)
+
+
+def render_image_u8(radiance):
+    """Radiance -> RGB8 exactly like the reference's output stage.
+
+    GL writes the fragment color into an RGB8 texture with unsigned-
+    normalized rounding (clamp then round; src/main.c:297-307, the CPU path
+    clamps at src/renderer.c:88 and scales by 255 at src/renderer.c:108).
+    """
+    return jnp.round(jnp.clip(radiance, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 7))
+def render_jit(scene, camera, height, width, spp, max_bounces, seed, jitter=False):
+    """jit-compiled convenience wrapper around :func:`render_radiance`."""
+    return render_radiance(
+        scene, camera, height, width, spp, max_bounces, seed, jitter=jitter
+    )

@@ -1,0 +1,127 @@
+"""Counter-based PCG random number generation, vectorized for TPU.
+
+TPU-native re-design of the reference's GPU RNG (C10 in SURVEY.md):
+the PCG hash of ``/root/reference/shaders/rtx_frag.glsl:64-90`` (constants
+747796405 / 2891336453 / 277803737, shift schedule identical), the Box-Muller
+normal sampler (``rtx_frag.glsl:78-83``) and the Gaussian unit-sphere sampler
+(``rtx_frag.glsl:85-90``), implemented as pure functions over uint32 jnp
+arrays so that
+
+* the same stream is reproducible across CPU / TPU / Pallas kernels
+  (all three implement this exact hash), enabling exact golden tests, and
+* every lane of a ray wavefront carries its own counter, so results are
+  independent of how pixels are sharded across chips (the multi-host
+  determinism requirement of SURVEY.md SS7 hard-part (e)).
+
+Unlike the reference host seeding (``srandom(time(NULL))``,
+``/root/reference/src/main.c:140``), seeding here is fully deterministic from
+``(pixel_idx, sample_idx, root_seed)``. We also decorrelate sample streams
+properly instead of the reference's overlapping ``rng_state += sample_id``
+re-seed (``rtx_frag.glsl:289``).
+
+All functions are shape-polymorphic: ``state`` may be any uint32 array and
+draws are elementwise over it.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "PCG_MULT",
+    "pcg_next",
+    "uniform",
+    "normal",
+    "unit_sphere",
+    "seed_state",
+]
+
+# Constants from rtx_frag.glsl:66-71 (PCG, www.pcg-random.org).
+PCG_MULT = 747796405
+PCG_INC = 2891336453
+PCG_XSH = 277803737
+# Weyl / splitmix-style mixing constants for decorrelated seeding.
+_GOLDEN = 0x9E3779B9
+_MIX1 = 0x85EBCA6B
+_MIX2 = 0xC2B2AE35
+
+_TWO_PI = 6.283185307179586
+_INV_U32_MAX = 1.0 / 4294967295.0  # rtx_frag.glsl:74 divides by 2^32 - 1.
+
+
+def _u32(x):
+    return jnp.asarray(x, dtype=jnp.uint32)
+
+
+def pcg_next(state):
+    """One PCG step: returns ``(new_state, random_bits)``.
+
+    Bit-exact with ``next_random`` at rtx_frag.glsl:66-71: the state advances
+    by an LCG and the output is an xorshift-multiply permutation of the *new*
+    state.
+    """
+    state = _u32(state)
+    state = state * _u32(PCG_MULT) + _u32(PCG_INC)
+    word = ((state >> ((state >> 28) + _u32(4))) ^ state) * _u32(PCG_XSH)
+    bits = (word >> 22) ^ word
+    return state, bits
+
+
+def uniform(state):
+    """Uniform float32 in [0, 1]; returns ``(new_state, value)``.
+
+    Matches ``random_value`` (rtx_frag.glsl:73-75): bits / (2^32 - 1).
+    """
+    state, bits = pcg_next(state)
+    return state, bits.astype(jnp.float32) * jnp.float32(_INV_U32_MAX)
+
+
+def normal(state):
+    """Standard normal via Box-Muller; returns ``(new_state, value)``.
+
+    Matches ``random_value_normal_dist`` (rtx_frag.glsl:78-83): theta from
+    the first uniform, rho from the second. The log argument is clamped away
+    from zero (the reference can produce log(0) with probability 2^-32).
+    """
+    state, u1 = uniform(state)
+    state, u2 = uniform(state)
+    theta = jnp.float32(_TWO_PI) * u1
+    rho = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u2, jnp.float32(1e-38))))
+    return state, rho * jnp.cos(theta)
+
+
+def unit_sphere(state):
+    """Unbiased uniform direction on S^2 from three Gaussians.
+
+    Matches ``rand_unit_sphere`` (rtx_frag.glsl:85-90) — the *GPU* sampler,
+    not the biased normalized-cube CPU variant (src/renderer.c:11-19), per
+    SURVEY.md SS7's semantic choice. Returns ``(new_state, dir)`` where
+    ``dir`` has one extra trailing axis of size 3.
+    """
+    state, x = normal(state)
+    state, y = normal(state)
+    state, z = normal(state)
+    v = jnp.stack([x, y, z], axis=-1)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-20))
+    return state, v / norm
+
+
+def seed_state(pixel_idx, sample_idx, root_seed):
+    """Derive a well-mixed uint32 PCG state from global counters.
+
+    Counter-based analog of the per-pixel seeding at rtx_frag.glsl:277-278
+    (``rng_state = pixel_idx + random_seed``) but decorrelated across samples
+    with splitmix-style multiplies plus two PCG rounds, instead of the
+    reference's overlapping ``rng_state += sample_id`` (rtx_frag.glsl:289).
+
+    ``pixel_idx`` / ``sample_idx`` are global indices, so the stream is
+    independent of device sharding.
+    """
+    s = (
+        _u32(pixel_idx) * _u32(_GOLDEN)
+        ^ _u32(sample_idx) * _u32(_MIX1)
+        ^ _u32(root_seed) * _u32(_MIX2)
+    )
+    s, _ = pcg_next(s)
+    s, _ = pcg_next(s)
+    return s

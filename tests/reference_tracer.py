@@ -1,0 +1,246 @@
+"""Scalar NumPy reference tracer — the golden-image oracle.
+
+An intentionally slow, loopy, scalar implementation of *exactly* the
+estimator the framework specifies (single-path selection, 7-draw RNG
+schedule, GPU-backend shading semantics from
+``/root/reference/shaders/rtx_frag.glsl``), written with per-object Python
+loops and masked 32-bit integer arithmetic so it shares no code path with
+the vectorized JAX implementation. If the wavefront integrator and this
+tracer agree pixel-wise, the vectorization/masking/scan machinery is
+correct.
+
+RNG draws produce bit-identical uint32 streams to ``ops/rng.py`` (integer
+ops are exact); float math may differ by libm rounding, so image
+comparisons use tolerances.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+_MASK = 0xFFFFFFFF
+_INV_U32_MAX = 1.0 / 4294967295.0
+TRI_EPS = 1e-6
+EPS_OFFSET = 1e-4
+
+
+# -- RNG (mirrors ops/rng.py, via masked python ints) -----------------------
+
+def pcg_next(state: int):
+    state = (state * 747796405 + 2891336453) & _MASK
+    shift = ((state >> 28) + 4) & 31
+    word = (((state >> shift) ^ state) * 277803737) & _MASK
+    bits = ((word >> 22) ^ word) & _MASK
+    return state, bits
+
+
+def uniform(state: int):
+    state, bits = pcg_next(state)
+    return state, float(np.float32(bits) * np.float32(_INV_U32_MAX))
+
+
+def normal(state: int):
+    state, u1 = uniform(state)
+    state, u2 = uniform(state)
+    theta = np.float32(2.0 * math.pi) * np.float32(u1)
+    rho = np.float32(
+        math.sqrt(-2.0 * math.log(max(np.float32(u2), np.float32(1e-38))))
+    )
+    return state, float(rho * np.float32(math.cos(theta)))
+
+
+def unit_sphere(state: int):
+    state, x = normal(state)
+    state, y = normal(state)
+    state, z = normal(state)
+    v = np.array([x, y, z], dtype=np.float64)
+    n = math.sqrt(max(float(v @ v), 1e-20))
+    return state, v / n
+
+
+def seed_state(pixel_idx: int, sample_idx: int, root_seed: int) -> int:
+    s = (
+        (pixel_idx * 0x9E3779B9) & _MASK
+        ^ (sample_idx * 0x85EBCA6B) & _MASK
+        ^ (root_seed * 0xC2B2AE35) & _MASK
+    )
+    s, _ = pcg_next(s)
+    s, _ = pcg_next(s)
+    return s
+
+
+# -- intersection (mirrors rtx_frag.glsl:92-192, scalar) --------------------
+
+def ray_sphere(o, d, center, radius):
+    oc = o - center
+    a = float(d @ d)
+    b = 2.0 * float(oc @ d)
+    c = float(oc @ oc) - radius * radius
+    det = b * b - 4.0 * a * c
+    if det < 0:
+        return -1.0
+    sq = math.sqrt(det)
+    t1 = (-b - sq) / (2 * a)
+    if t1 >= 0:
+        return t1
+    t2 = (-b + sq) / (2 * a)
+    if t2 >= 0:
+        return t2
+    return -1.0
+
+
+def ray_triangle(o, d, v0, v1, v2):
+    e1 = v1 - v0
+    e2 = v2 - v0
+    rce = np.cross(d, e2)
+    det = float(e1 @ rce)
+    if abs(det) < TRI_EPS:
+        return -1.0
+    inv = 1.0 / det
+    s = o - v0
+    u = inv * float(s @ rce)
+    if u < TRI_EPS or u > 1.0:
+        return -1.0
+    sce = np.cross(s, e1)
+    v = inv * float(d @ sce)
+    if v < TRI_EPS or (u + v) > 1.0:
+        return -1.0
+    t = inv * float(e2 @ sce)
+    if t < TRI_EPS:
+        return -1.0
+    return t
+
+
+def _normalize(v):
+    n = math.sqrt(max(float(v @ v), 1e-20))
+    return v / n
+
+
+def trace_ray(sc, o, d):
+    """Linear closest-hit scan like trace_ray (rtx_frag.glsl:158-192)."""
+    best_t = math.inf
+    best = None
+    for i in range(sc["ns"]):
+        if not sc["sph_active"][i]:
+            continue
+        t = ray_sphere(o, d, sc["sph_center"][i], sc["sph_radius"][i])
+        if 0 <= t < best_t:
+            p = o + t * d
+            best_t = t
+            best = (p, _normalize(p - sc["sph_center"][i]), sc["sph_mat"][i])
+    for i in range(sc["nt"]):
+        if not sc["tri_active"][i]:
+            continue
+        v0, v1, v2 = sc["tri_v0"][i], sc["tri_v1"][i], sc["tri_v2"][i]
+        t = ray_triangle(o, d, v0, v1, v2)
+        if 0 <= t < best_t:
+            p = o + t * d
+            n = _normalize(np.cross(v0 - v1, v0 - v2))
+            if float(n @ d) > 0:
+                n = -n
+            best_t = t
+            best = (p, n, sc["tri_mat"][i])
+    if best is None:
+        return None
+    return best_t, *best
+
+
+def reflect(i, n):
+    return i - 2.0 * float(n @ i) * n
+
+
+def refract(i, n, eta):
+    ni = float(n @ i)
+    k = 1.0 - eta * eta * (1.0 - ni * ni)
+    if k < 0:
+        return None  # TIR
+    return eta * i - (eta * ni + math.sqrt(k)) * n
+
+
+def incident_light(sc, o, d, state, max_bounces):
+    """Single-path estimator, one scalar ray: mirrors trace_paths."""
+    total = np.zeros(3)
+    thr = np.ones(3)
+    for _ in range(max_bounces + 1):
+        hit = trace_ray(sc, o, d)
+        if hit is None:
+            return total + thr * sc["sky"], state
+        _, p, n_geom, mi = hit
+        mat_emission = sc["m_emission_color"][mi] * sc["m_emission_strength"][mi]
+        total = total + thr * mat_emission
+        thr = thr * sc["m_albedo"][mi]
+
+        state, sph = unit_sphere(state)
+        state, u_branch = uniform(state)
+
+        n = _normalize(n_geom + sc["m_roughness"][mi] * sph)
+        transp = sc["m_transparency"][mi]
+        if u_branch < transp:
+            ior = sc["m_ior"][mi]
+            ndot = float(d @ n)
+            if ndot < 0:
+                eta, rn = 1.0 / ior, n
+            else:
+                eta, rn = ior, -n
+            new_d = refract(d, rn, eta)
+            if new_d is None:
+                return total, state  # TIR refract ray dropped (glsl:261-262)
+        else:
+            new_d = reflect(d, n)
+        # Scale-adaptive normal offset — see models/integrator.py.
+        offs = EPS_OFFSET + 4e-6 * math.sqrt(float(p @ p))
+        side = 1.0 if float(new_d @ n_geom) >= 0 else -1.0
+        o = p + offs * side * n_geom
+        d = new_d
+    return total + thr * sc["sky"], state
+
+
+def scene_to_numpy(scene):
+    """Flatten a path_tracer_c_tpu Scene pytree into plain numpy arrays."""
+    import jax
+
+    g = lambda x: np.asarray(jax.device_get(x), dtype=np.float64)
+    return dict(
+        ns=int(scene.num_spheres),
+        nt=int(scene.num_triangles),
+        sph_center=g(scene.spheres.center),
+        sph_radius=g(scene.spheres.radius),
+        sph_mat=np.asarray(jax.device_get(scene.spheres.material)),
+        sph_active=np.asarray(jax.device_get(scene.spheres.active)),
+        tri_v0=g(scene.triangles.v0),
+        tri_v1=g(scene.triangles.v1),
+        tri_v2=g(scene.triangles.v2),
+        tri_mat=np.asarray(jax.device_get(scene.triangles.material)),
+        tri_active=np.asarray(jax.device_get(scene.triangles.active)),
+        m_albedo=g(scene.materials.albedo),
+        m_roughness=g(scene.materials.roughness),
+        m_emission_color=g(scene.materials.emission_color),
+        m_emission_strength=g(scene.materials.emission_strength),
+        m_transparency=g(scene.materials.transparency),
+        m_ior=g(scene.materials.refractive_index),
+        sky=g(scene.sky_color),
+    )
+
+
+def render(scene, height, width, spp, max_bounces, seed, fov_deg=90.0):
+    """Golden radiance image, (H, W, 3) float64. Slow; keep images tiny."""
+    sc = scene_to_numpy(scene)
+    aspect = width / height
+    tf = math.tan(math.radians(fov_deg) / 2)
+    img = np.zeros((height, width, 3))
+    for py in range(height):
+        for px in range(width):
+            x = (px + 0.5) / width * 2.0 - 1.0
+            y = -((py + 0.5) / height * 2.0 - 1.0)
+            d = _normalize(np.array([x * tf, y * tf / aspect, 1.0]))
+            o = np.zeros(3)
+            acc = np.zeros(3)
+            pixel_idx = py * width + px
+            for s in range(spp):
+                state = seed_state(pixel_idx, s, seed)
+                li, _ = incident_light(sc, o.copy(), d.copy(), state, max_bounces)
+                acc += li
+            img[py, px] = acc / spp
+    return img
