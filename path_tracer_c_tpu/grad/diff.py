@@ -16,9 +16,17 @@ How the estimator stays differentiable (SURVEY.md SS7 hard-part (b)):
   throughput/emission product chain — exactly smooth, FD-matchable;
 * geometry gradients (sphere center/radius, triangle vertices) flow
   through the closest-hit distance, hit point and normal of the *winning*
-  object (the argmin index itself is discrete). These are the interior /
-  shading terms; visibility (silhouette) discontinuities are intentionally
-  excluded, and the FD tests are constructed on interior-dominated views.
+  object (the argmin index itself is discrete). Note a structural property
+  inherited from the reference shading model: path radiance is a product of
+  albedos and emissions selected by discrete path events, with **no
+  continuous geometry term** (no cosine factors, no 1/r^2 — see
+  rtx_frag.glsl:226-230), so away from visibility edges the image is
+  piecewise-constant in geometry and the true interior gradient is zero.
+  AD and FD agree exactly there (both zero). Non-trivial geometry
+  gradients require shading terms that touch geometry continuously —
+  next-event estimation with cosine/distance factors is the planned
+  extension; the plumbing through hit point/normal is already
+  differentiable for it.
 
 Fixed seeds make renders deterministic, so finite differences see the same
 sample paths and the comparison is quadrature-tight, not Monte-Carlo-loose.
@@ -65,7 +73,8 @@ def loss_and_grad(scene, target, camera, height, width, spp, max_bounces, seed):
     return jax.value_and_grad(
         lambda sc: render_loss(
             sc, target, camera, height, width, spp, max_bounces, seed
-        )
+        ),
+        allow_int=True,  # int leaves (indices, masks) get float0 grads
     )(scene)
 
 

@@ -43,7 +43,13 @@ from ..ops.intersect import trace
 from ..ops.sampling import perturb_normal, reflect, refract
 from ..scene.scene import Scene
 
-__all__ = ["trace_paths", "render_radiance", "render_image_u8", "DEFAULT_EPS_OFFSET"]
+__all__ = [
+    "trace_paths",
+    "render_tile",
+    "render_radiance",
+    "render_image_u8",
+    "DEFAULT_EPS_OFFSET",
+]
 
 DEFAULT_EPS_OFFSET = 1e-4  # rtx_frag.glsl:239,263
 EPS_OFFSET_SCALE = 4e-6  # extra offset per unit |hit point| (f32 round-off)
@@ -146,6 +152,63 @@ def trace_paths(scene: Scene, origins, directions, state, max_bounces: int):
     return total, st
 
 
+def render_tile(
+    scene: Scene,
+    camera: Camera,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounces: int,
+    seed,
+    jitter: bool = False,
+    remat: bool = False,
+    sample_offset=0,
+    row_start=0,
+    rows: int | None = None,
+):
+    """Monte-Carlo radiance for a row block: (rows, W, 3) f32 mean over spp.
+
+    Samples run as an outer ``lax.scan`` (memory O(rows*W), any spp), each
+    sample a full wavefront over the block's pixels — the TPU replacement
+    for the per-pixel sample loops at rtx_frag.glsl:288-292 /
+    src/renderer.c:104-108. The row block is the unit of image sharding
+    (``row_start`` may be a traced ``axis_index``); RNG streams key on
+    *global* pixel and sample indices, so any sharding produces bit-
+    identical images. ``sample_offset`` shifts the global sample indices —
+    how spp splits across devices and how checkpoint/resume continues a
+    render without replaying samples.
+
+    ``remat`` wraps each sample in ``jax.checkpoint`` so reverse-mode AD
+    recomputes the bounce loop instead of storing per-bounce residuals
+    (HBM-bound backward; SURVEY.md SS5 memory note).
+    """
+    rows = height if rows is None else rows
+    pix = pixel_indices(height, width, row_start, rows)
+    rays = primary_rays(camera, height, width, row_start=row_start, rows=rows)
+
+    def one_sample(sample_idx):
+        st = _rng.seed_state(pix, sample_idx, seed)
+        if jitter:
+            o, d, st = primary_rays(
+                camera, height, width, st, row_start=row_start, rows=rows
+            )
+        else:
+            o, d = rays
+        radiance, _ = trace_paths(scene, o, d, st, max_bounces)
+        return radiance
+
+    if remat:
+        one_sample = jax.checkpoint(one_sample)
+
+    def body(accum, sample_idx):
+        return accum + one_sample(sample_idx), None
+
+    init = jnp.zeros((rows * width, 3), jnp.float32)
+    sample_ids = jnp.arange(spp, dtype=jnp.int32) + jnp.int32(sample_offset)
+    accum, _ = jax.lax.scan(body, init, sample_ids)
+    return (accum / spp).reshape(rows, width, 3)
+
+
 def render_radiance(
     scene: Scene,
     camera: Camera,
@@ -158,41 +221,19 @@ def render_radiance(
     remat: bool = False,
     sample_offset=0,
 ):
-    """Monte-Carlo radiance image, mean over ``spp`` samples: (H, W, 3) f32.
-
-    Samples run as an outer ``lax.scan`` (memory O(H*W), any spp), each
-    sample a full wavefront over all pixels — the TPU replacement for the
-    per-pixel sample loops at rtx_frag.glsl:288-292 / src/renderer.c:104-108.
-    ``sample_offset`` shifts the global sample indices, which is how spp is
-    split across devices and how checkpoint/resume continues a render
-    without replaying samples.
-
-    ``remat`` wraps each sample in ``jax.checkpoint`` so reverse-mode AD
-    recomputes the bounce loop instead of storing per-bounce residuals
-    (HBM-bound backward; SURVEY.md SS5 memory note).
-    """
-    pix = pixel_indices(height, width)
-    rays = primary_rays(camera, height, width)
-
-    def one_sample(sample_idx):
-        st = _rng.seed_state(pix, sample_idx, seed)
-        if jitter:
-            o, d, st = primary_rays(camera, height, width, st)
-        else:
-            o, d = rays
-        radiance, _ = trace_paths(scene, o, d, st, max_bounces)
-        return radiance
-
-    if remat:
-        one_sample = jax.checkpoint(one_sample)
-
-    def body(accum, sample_idx):
-        return accum + one_sample(sample_idx), None
-
-    init = jnp.zeros((height * width, 3), jnp.float32)
-    sample_ids = jnp.arange(spp, dtype=jnp.int32) + jnp.int32(sample_offset)
-    accum, _ = jax.lax.scan(body, init, sample_ids)
-    return (accum / spp).reshape(height, width, 3)
+    """Full-image radiance, (H, W, 3) f32 — :func:`render_tile` over all rows."""
+    return render_tile(
+        scene,
+        camera,
+        height,
+        width,
+        spp,
+        max_bounces,
+        seed,
+        jitter=jitter,
+        remat=remat,
+        sample_offset=sample_offset,
+    )
 
 
 def render_image_u8(radiance):

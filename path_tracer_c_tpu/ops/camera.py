@@ -74,14 +74,19 @@ class Camera:
         )
 
 
-def pixel_indices(height: int, width: int):
+def pixel_indices(height: int, width: int, row_start=0, rows: int | None = None):
     """Global linear pixel index grid, row-major from the top-left.
 
     Seeds the counter-based RNG exactly like the per-pixel seed of
-    rtx_frag.glsl:277 — global, so sharding cannot change the stream.
-    Returns int32 (H*W,).
+    rtx_frag.glsl:277 — indices stay *global* even for a row-block slice
+    (``row_start``/``rows``), so sharding the image over devices cannot
+    change any pixel's stream. Returns int32 (rows*W,). ``row_start`` may
+    be a traced value (it is ``axis_index`` under shard_map).
     """
-    return jnp.arange(height * width, dtype=jnp.int32)
+    rows = height if rows is None else rows
+    return jnp.int32(row_start) * jnp.int32(width) + jnp.arange(
+        rows * width, dtype=jnp.int32
+    )
 
 
 def primary_rays(
@@ -89,21 +94,31 @@ def primary_rays(
     height: int,
     width: int,
     jitter_state=None,
+    row_start=0,
+    rows: int | None = None,
 ):
-    """Camera rays for every pixel: returns ``(origins (N,3), dirs (N,3))``
-    with N = H*W, row-major from the top-left pixel.
+    """Camera rays for a block of image rows: ``(origins (N,3), dirs (N,3))``
+    with N = rows*W, row-major from the block's top-left pixel.
+
+    ``height`` is always the *full* image height (it sets the NDC mapping
+    and aspect); ``row_start``/``rows`` select the block — the unit of
+    image sharding across devices. ``row_start`` may be traced.
 
     With ``jitter_state`` (a uint32 RNG state per pixel), sub-pixel uniform
     offsets replace the fixed pixel-center sample; returns
     ``(origins, dirs, new_state)`` in that case.
     """
+    rows = height if rows is None else rows
     aspect = jnp.float32(width / height)
     tan_fov_2 = jnp.tan(camera.fov * 0.5)
 
     px = jnp.arange(width, dtype=jnp.float32)[None, :]
-    py = jnp.arange(height, dtype=jnp.float32)[:, None]
-    px = jnp.broadcast_to(px, (height, width)).reshape(-1)
-    py = jnp.broadcast_to(py, (height, width)).reshape(-1)
+    py = (
+        jnp.arange(rows, dtype=jnp.float32)[:, None]
+        + jnp.asarray(row_start, jnp.float32)
+    )
+    px = jnp.broadcast_to(px, (rows, width)).reshape(-1)
+    py = jnp.broadcast_to(py, (rows, width)).reshape(-1)
 
     if jitter_state is not None:
         jitter_state, jx = _rng.uniform(jitter_state)

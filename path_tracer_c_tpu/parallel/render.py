@@ -1,0 +1,151 @@
+"""Sharded rendering and training steps: ``shard_map`` over a device mesh.
+
+This is the distributed layer the reference lacks entirely (SURVEY.md SS2
+"Distributed communication backend: none exists"): image row-blocks shard
+over the ``tile`` mesh axis, Monte-Carlo samples split over the ``spp``
+axis with a ``pmean`` reduction, the scene replicates everywhere, and
+inverse-rendering gradients ``psum`` across the whole mesh (handled by
+shard_map's transpose of the replicated in_spec). All collectives are XLA
+collectives over ICI — the scaling-book recipe: pick a mesh, annotate
+shardings, let XLA insert the comms.
+
+Determinism: RNG streams key on global pixel/sample indices
+(ops/camera.pixel_indices + rng.seed_state), so for any mesh shape the
+sharded render is **bit-identical** to the single-device render — the
+property the multi-host tests pin down.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..models.integrator import render_tile
+from ..ops.camera import Camera
+from ..scene.scene import Scene
+from .mesh import SPP_AXIS, TILE_AXIS
+
+__all__ = ["render_sharded", "make_train_step", "replicate_scene"]
+
+
+def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
+    """Place the scene replicated on every mesh device — the analog of the
+    per-frame uniform upload (src/main.c:246-248, 263)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), scene)
+
+
+def _check_divisible(height, spp, mesh):
+    n_tile = mesh.shape[TILE_AXIS]
+    n_spp = mesh.shape[SPP_AXIS]
+    if height % n_tile:
+        raise ValueError(f"height {height} not divisible by tile axis {n_tile}")
+    if spp % n_spp:
+        raise ValueError(f"spp {spp} not divisible by spp axis {n_spp}")
+    return height // n_tile, spp // n_spp
+
+
+def render_sharded(
+    scene: Scene,
+    camera: Camera,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounces: int,
+    seed,
+    mesh: Mesh,
+    jitter: bool = False,
+    remat: bool = False,
+):
+    """Full-image radiance rendered across the mesh: (H, W, 3), sharded
+    over rows on the ``tile`` axis.
+
+    Each device renders its (row-block, sample-block); ``pmean`` over the
+    ``spp`` axis averages the sample splits (the cross-chip analog of the
+    sample mean at rtx_frag.glsl:292). The returned array keeps its row
+    sharding — materialize with ``np.asarray`` (an all-gather to host,
+    the glReadPixels analog) only at the output boundary.
+    """
+    rows_local, spp_local = _check_divisible(height, spp, mesh)
+
+    # check_vma off: the bounce-scan carry starts replicated (camera rays)
+    # and becomes varying over (tile, spp) after one step, which the strict
+    # varying-axis checker rejects; correctness of the transpose psums is
+    # pinned by tests/test_parallel.py::test_sharded_gradient_matches_unsharded.
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(TILE_AXIS, None, None),
+        check_vma=False,
+    )
+    def _render(scene, seed):
+        ti = jax.lax.axis_index(TILE_AXIS)
+        si = jax.lax.axis_index(SPP_AXIS)
+        img = render_tile(
+            scene,
+            camera,
+            height,
+            width,
+            spp_local,
+            max_bounces,
+            seed,
+            jitter=jitter,
+            remat=remat,
+            sample_offset=si * spp_local,
+            row_start=ti * rows_local,
+            rows=rows_local,
+        )
+        return jax.lax.pmean(img, SPP_AXIS)
+
+    return _render(scene, jnp.asarray(seed, jnp.uint32))
+
+
+def make_train_step(
+    camera: Camera,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounces: int,
+    mesh: Mesh,
+    optimizer,
+    param_fns,
+):
+    """Build a jitted sharded inverse-rendering train step.
+
+    ``param_fns = (apply_params, )``-style pair from ``grad.diff``:
+    ``apply_params(scene0, params) -> Scene``. The step renders the
+    parameterized scene across the mesh, computes MSE against the
+    (tile-sharded) target, backprops — shard_map's transpose inserts the
+    gradient ``psum`` over both axes for the replicated scene — and
+    applies an optax update. Returns ``step(params, opt_state, scene0,
+    target, seed) -> (params, opt_state, loss)``.
+    """
+    apply_params = param_fns
+
+    def loss_fn(params, scene0, target, seed):
+        img = render_sharded(
+            apply_params(scene0, params),
+            camera,
+            height,
+            width,
+            spp,
+            max_bounces,
+            seed,
+            mesh,
+            remat=True,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, scene0, target, seed):
+        loss, grads = jax.value_and_grad(loss_fn)(params, scene0, target, seed)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return step

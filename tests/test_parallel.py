@@ -1,0 +1,156 @@
+"""Sharding layer on the 8-fake-device CPU mesh (SURVEY.md SS4 strategy (d)):
+sharded renders must be bit-identical to single-device renders, and the
+sharded train step must agree with the unsharded gradient path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+import path_tracer_c_tpu as pt
+from path_tracer_c_tpu.scene import demo
+from path_tracer_c_tpu import parallel
+from path_tracer_c_tpu.grad import diff
+
+
+CAM = pt.Camera.reference()
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return demo.diffuse_sphere_scene()
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("tile,spp_ax", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_render_bit_identical(scene, tile, spp_ax):
+    h, w, spp, bounces = 16, 16, 8, 2
+    single = np.asarray(
+        pt.render_radiance(scene, CAM, h, w, spp, bounces, jnp.uint32(5))
+    )
+    mesh = parallel.make_mesh(tile=tile, spp=spp_ax)
+    sharded = parallel.render_sharded(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(5), mesh
+    )
+    # Identical modulo the spp-mean association order: pmean of block means
+    # vs one global mean; both sum the same f32 values grouped differently.
+    np.testing.assert_allclose(np.asarray(sharded), single, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_render_exact_when_tile_only(scene):
+    """With no spp split, even the mean association is identical ->
+    bit-exact equality with the single-device image."""
+    h, w, spp, bounces = 16, 16, 4, 2
+    single = np.asarray(
+        pt.render_radiance(scene, CAM, h, w, spp, bounces, jnp.uint32(9))
+    )
+    mesh = parallel.make_mesh(tile=8, spp=1)
+    sharded = np.asarray(
+        parallel.render_sharded(scene, CAM, h, w, spp, bounces, jnp.uint32(9), mesh)
+    )
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_output_sharding_layout(scene):
+    mesh = parallel.make_mesh(tile=4, spp=2)
+    img = parallel.render_sharded(scene, CAM, 16, 16, 8, 2, jnp.uint32(0), mesh)
+    assert img.shape == (16, 16, 3)
+    shard_rows = {s.index[0] for s in img.addressable_shards}
+    assert len(shard_rows) == 4  # image rows sharded over the tile axis
+
+
+def test_divisibility_validation(scene):
+    mesh = parallel.make_mesh(tile=8, spp=1)
+    with pytest.raises(ValueError):
+        parallel.render_sharded(scene, CAM, 12, 16, 4, 2, jnp.uint32(0), mesh)
+    mesh = parallel.make_mesh(tile=1, spp=8)
+    with pytest.raises(ValueError):
+        parallel.render_sharded(scene, CAM, 16, 16, 4, 2, jnp.uint32(0), mesh)
+
+
+def test_replicate_scene(scene):
+    mesh = parallel.make_mesh(tile=4, spp=2)
+    rs = parallel.replicate_scene(scene, mesh)
+    leaf = rs.spheres.center
+    assert len(leaf.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(leaf), np.asarray(scene.spheres.center))
+
+
+def test_sharded_gradient_matches_unsharded(scene):
+    h, w, spp, bounces = 16, 16, 4, 2
+    target = pt.render_radiance(scene, CAM, h, w, spp, bounces, jnp.uint32(77))
+    mesh = parallel.make_mesh(tile=4, spp=2)
+
+    def loss_sharded(albedo):
+        import dataclasses
+
+        sc = dataclasses.replace(
+            scene, materials=dataclasses.replace(scene.materials, albedo=albedo)
+        )
+        img = parallel.render_sharded(
+            sc, CAM, h, w, spp, bounces, jnp.uint32(3), mesh
+        )
+        return jnp.mean((img - target) ** 2)
+
+    def loss_single(albedo):
+        import dataclasses
+
+        sc = dataclasses.replace(
+            scene, materials=dataclasses.replace(scene.materials, albedo=albedo)
+        )
+        img = pt.render_radiance(sc, CAM, h, w, spp, bounces, jnp.uint32(3))
+        return jnp.mean((img - target) ** 2)
+
+    a0 = scene.materials.albedo
+    g_sharded = np.asarray(jax.grad(loss_sharded)(a0))
+    g_single = np.asarray(jax.grad(loss_single)(a0))
+    np.testing.assert_allclose(g_sharded, g_single, rtol=1e-4, atol=1e-7)
+
+
+def test_train_step_decreases_loss(scene):
+    h, w, spp, bounces = 16, 16, 4, 2
+    mesh = parallel.make_mesh(tile=4, spp=2)
+    target = parallel.render_sharded(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(101), mesh
+    )
+    wrong_params = jax.tree_util.tree_map(
+        lambda x: x, diff.make_material_params(scene)
+    )
+    wrong_params["albedo_logit"] = jnp.zeros_like(wrong_params["albedo_logit"])
+
+    opt = optax.adam(0.1)
+    step = parallel.make_train_step(
+        CAM, h, w, spp, bounces, mesh, opt, diff.apply_material_params
+    )
+    opt_state = opt.init(wrong_params)
+    params = wrong_params
+    losses = []
+    for i in range(12):
+        params, opt_state, loss = step(
+            params, opt_state, scene, target, jnp.uint32(i + 1)
+        )
+        losses.append(float(loss))
+    # spp=4 keeps the MC noise floor high; check the trend and that the
+    # albedo moved toward the truth, not an absolute loss drop.
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+    true_albedo = np.asarray(scene.materials.albedo)
+    err0 = np.abs(1 / (1 + np.exp(-np.asarray(wrong_params["albedo_logit"]))) - true_albedo)
+    err1 = np.abs(1 / (1 + np.exp(-np.asarray(params["albedo_logit"]))) - true_albedo)
+    assert err1[:2].mean() < err0[:2].mean(), (err0[:2].mean(), err1[:2].mean())
+
+
+def test_health_check():
+    status = parallel.distributed.health_check()
+    assert status["alive"] and status["devices"] == 8
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        parallel.make_mesh(tile=3, spp=2)  # 6 != 8
+    with pytest.raises(ValueError):
+        parallel.make_mesh(spp=3)  # 8 % 3
