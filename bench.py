@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Headline benchmark: rays/sec/chip on the BASELINE target workload.
+
+Runs BASELINE.json's primary metric — forward (and fwd+bwd) rays/sec/chip
+at 1024^2 / 64 spp — on the glossy scene (config 3) with 8 bounces, using
+the Pallas megakernel on TPU (core XLA path elsewhere). Prints ONE JSON
+line:
+
+    {"metric": "rays/sec/chip fwd 1024^2/64spp/8bounce", "value": ...,
+     "unit": "rays/s", "vs_baseline": ..., "extra": {...}}
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+baseline is the reference workload's implied throughput: its GLSL tracer
+issues <= 3.6e10 ray-casts per frame (BASELINE.md table); at an assumed
+30 s/frame on a mid-range GL 4.1 GPU that is ~1.2e9 rays/s. We use 1.0e9
+rays/s as the nominal baseline denominator and record it in "extra".
+
+A "ray" is one wavefront trace round of one pixel-sample:
+H * W * spp * (max_bounces + 1) per render (utils/metrics.py).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+
+    # Allow quick CPU smoke-testing: bench.py --cpu
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import path_tracer_c_tpu as pt
+    from path_tracer_c_tpu.scene import demo
+    from path_tracer_c_tpu.grad import diff
+    from path_tracer_c_tpu.models.integrator import render_radiance
+    from path_tracer_c_tpu.ops.pallas_kernels import render_pallas
+    from path_tracer_c_tpu.utils.metrics import rays_per_render
+
+    on_tpu = jax.default_backend() == "tpu"
+    small = "--small" in sys.argv or not on_tpu
+    if small:
+        H = W = 256
+        SPP, BOUNCES = 8, 4
+    else:
+        H = W = 1024
+        SPP, BOUNCES = 64, 8
+    BASELINE_RAYS_PER_SEC = 1.0e9
+
+    scene = demo.glossy_scene()
+    cam = pt.Camera.reference()
+    seed = jnp.uint32(1)
+
+    def fwd():
+        return render_pallas(scene, cam, H, W, SPP, BOUNCES, seed)
+
+    # forward: warmup (compile) + timed runs
+    jax.block_until_ready(fwd())
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fwd())
+        times.append(time.perf_counter() - t0)
+    fwd_s = sorted(times)[len(times) // 2]
+    rays = rays_per_render(H, W, SPP, BOUNCES)
+    fwd_rps = rays / fwd_s
+
+    # fwd+bwd: gradient of pixel loss w.r.t. the scene, smaller spp to
+    # bound bench wall time, same rays metric definition (fwd rays only;
+    # the backward re-traces once more under remat, so wall time covers
+    # ~2 forward-equivalents plus the VJP).
+    SPP_B = max(SPP // 4, 1)
+    target = jax.block_until_ready(
+        render_radiance(scene, cam, H, W, 1, BOUNCES, jnp.uint32(9))
+    )
+
+    grad_fn = jax.jit(
+        jax.grad(
+            lambda sc: jnp.mean(
+                (
+                    render_radiance(
+                        sc, cam, H, W, SPP_B, BOUNCES, seed, remat=True
+                    )
+                    - target
+                )
+                ** 2
+            ),
+            allow_int=True,
+        )
+    )
+    jax.block_until_ready(grad_fn(scene))
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(grad_fn(scene))
+        times.append(time.perf_counter() - t0)
+    bwd_s = sorted(times)[len(times) // 2]
+    bwd_rps = rays_per_render(H, W, SPP_B, BOUNCES) / bwd_s
+
+    print(
+        json.dumps(
+            {
+                "metric": f"rays/sec/chip fwd {H}x{W}/{SPP}spp/{BOUNCES}bounce",
+                "value": round(fwd_rps, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(fwd_rps / BASELINE_RAYS_PER_SEC, 3),
+                "extra": {
+                    "fwd_seconds": round(fwd_s, 4),
+                    "fwd_bwd_rays_per_sec": round(bwd_rps, 1),
+                    "fwd_bwd_seconds": round(bwd_s, 4),
+                    "fwd_bwd_spp": SPP_B,
+                    "backend": jax.default_backend(),
+                    "device": str(jax.devices()[0]),
+                    "baseline_assumed_rays_per_sec": BASELINE_RAYS_PER_SEC,
+                    "small_mode": small,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

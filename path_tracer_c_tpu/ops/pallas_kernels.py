@@ -1,0 +1,570 @@
+"""Pallas TPU megakernel: the performance render path.
+
+TPU-native re-design of the GPU fragment kernel (C9,
+``/root/reference/shaders/rtx_frag.glsl:194-300``): one Pallas program per
+**pixel tile** (grid over row/col blocks) instead of one SIMT thread per
+pixel. Per tile, the whole sample loop (rtx_frag.glsl:288-292) and bounce
+loop (196-271) run with every per-ray quantity resident in VMEM as
+(TH, TW) planes — origins, directions, throughput, accumulated light,
+alive mask, RNG state — so HBM traffic is exactly one radiance tile out;
+the scene lives in SMEM scalars (the uniform-array analog of
+rtx_frag.glsl:54-60). Terminated rays are masked lanes, not divergent
+threads.
+
+Numerics are identical to the core integrator (models/integrator.py): same
+PCG draws (ops/rng.py), same intersection rules, same shading order, same
+self-intersection offsets — so the megakernel is validated against the
+core path and the scalar oracle to f32-rounding tolerance (bit-exact in
+interpreter mode).
+
+The backward pass uses the core path's AD via ``jax.custom_vjp``
+(render_pallas_vjp): Pallas forward for speed, XLA reverse for gradients —
+both consume the same RNG streams, so the VJP is exact for the forward's
+estimator.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.scene import Scene
+from ..ops.camera import Camera
+from ..models.integrator import DEFAULT_EPS_OFFSET, EPS_OFFSET_SCALE
+
+__all__ = ["render_pallas", "render_pallas_vjp", "DEFAULT_TILE"]
+
+DEFAULT_TILE = (128, 128)
+# Plain numpy scalars: module-level jnp values would be captured as
+# constants by pallas_call, which rejects them.
+_INF = np.float32(np.inf)
+_TRI_EPS = np.float32(1e-6)
+_INV_U32_MAX = np.float32(1.0 / 4294967295.0)
+_TWO_PI = np.float32(2.0 * math.pi)
+
+
+def _u32(x):
+    return jnp.uint32(x)
+
+
+def _pcg(state):
+    """One PCG round on a (TH, TW) uint32 plane — ops/rng.pcg_next inlined."""
+    state = state * _u32(747796405) + _u32(2891336453)
+    word = ((state >> ((state >> 28) + _u32(4))) ^ state) * _u32(277803737)
+    return state, (word >> 22) ^ word
+
+
+def _u32_to_f32(bits):
+    # Mosaic has no uint32->f32 cast; go through int32 and fix the sign.
+    i = pltpu.bitcast(bits, jnp.int32)
+    f = i.astype(jnp.float32)
+    return jnp.where(i < 0, f + np.float32(4294967296.0), f)
+
+
+def _uniform(state):
+    state, bits = _pcg(state)
+    return state, _u32_to_f32(bits) * _INV_U32_MAX
+
+
+def _normal(state):
+    state, u1 = _uniform(state)
+    state, u2 = _uniform(state)
+    theta = _TWO_PI * u1
+    rho = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u2, jnp.float32(1e-38))))
+    return state, rho * jnp.cos(theta)
+
+
+def _unit_sphere(state):
+    state, x = _normal(state)
+    state, y = _normal(state)
+    state, z = _normal(state)
+    norm = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
+    return state, (x / norm, y / norm, z / norm)
+
+
+def _kernel(
+    # scalar-prefetch-free SMEM scene inputs (2D each)
+    sph_c,  # (S, 3)
+    sph_r,  # (S, 1)
+    sph_m,  # (S, 1) int32
+    sph_a,  # (S, 1) f32 0/1
+    tri_v0,  # (T, 3)
+    tri_v1,
+    tri_v2,
+    tri_n,  # (T, 3) unit face normals (host-precomputed)
+    tri_m,  # (T, 1) int32
+    tri_a,  # (T, 1)
+    m_alb,  # (M, 3)
+    m_eco,  # (M, 3)
+    m_est,  # (M, 1)
+    m_rgh,  # (M, 1)
+    m_trn,  # (M, 1)
+    m_ior,  # (M, 1)
+    par_f,  # (1, PF) f32: tan_fov2, aspect, W, H, sky rgb, cam origin/right/up/fwd
+    par_i,  # (1, 2) int32: seed, sample_offset
+    out_ref,  # (3, TH, TW) VMEM
+    *,
+    th: int,
+    tw: int,
+    n_sph: int,
+    n_tri: int,
+    n_mat: int,
+    spp: int,
+    max_bounces: int,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+
+    tan2 = par_f[0, 0]
+    aspect = par_f[0, 1]
+    width = par_f[0, 2]
+    sky_r, sky_g, sky_b = par_f[0, 4], par_f[0, 5], par_f[0, 6]
+    cox, coy, coz = par_f[0, 7], par_f[0, 8], par_f[0, 9]
+    crx, cry, crz = par_f[0, 10], par_f[0, 11], par_f[0, 12]
+    cux, cuy, cuz = par_f[0, 13], par_f[0, 14], par_f[0, 15]
+    cfx, cfy, cfz = par_f[0, 16], par_f[0, 17], par_f[0, 18]
+    height = par_f[0, 3]
+    seed = par_i[0, 0].astype(jnp.uint32)
+    sample_offset = par_i[0, 1]
+
+    # Pixel coordinates of this tile (global, so RNG streams are
+    # sharding-invariant — rtx_frag.glsl:277's pixel_idx analog).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
+    pix = (rows * width.astype(jnp.int32) + cols).astype(jnp.uint32)
+
+    # Primary rays: pinhole camera (rtx_frag.glsl:280-284).
+    x = (cols.astype(jnp.float32) + 0.5) / width * 2.0 - 1.0
+    y = -((rows.astype(jnp.float32) + 0.5) / height * 2.0 - 1.0)
+    dcx = x * tan2
+    dcy = y * tan2 / aspect
+    pdx = dcx * crx + dcy * cux + cfx
+    pdy = dcx * cry + dcy * cuy + cfy
+    pdz = dcx * crz + dcy * cuz + cfz
+    pn = jax.lax.rsqrt(pdx * pdx + pdy * pdy + pdz * pdz)
+    pdx, pdy, pdz = pdx * pn, pdy * pn, pdz * pn
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+
+    def bounce_body(_, st8):
+        # alive travels as f32 0/1: Mosaic cannot carry i1 vectors
+        # through scf.for loops.
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab, alivef, rng) = st8
+        alive = alivef > 0.0
+
+        # -- closest hit: spheres then triangles (rtx_frag.glsl:158-192) --
+        best_t = jnp.full((th, tw), _INF)
+        nx = zero
+        ny = zero
+        nz = zero
+        mat = jnp.zeros((th, tw), jnp.int32)
+
+        dd = dx * dx + dy * dy + dz * dz
+        inv2a = 0.5 / dd
+
+        def sph_body(i, c):
+            bt, nx, ny, nz, mat = c
+            cx, cy, cz = sph_c[i, 0], sph_c[i, 1], sph_c[i, 2]
+            r = sph_r[i, 0]
+            act = sph_a[i, 0]
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            det = b * b - 4.0 * dd * cq
+            sq = jnp.sqrt(jnp.maximum(det, 0.0))
+            t1 = (-b - sq) * inv2a
+            t2 = (-b + sq) * inv2a
+            t = jnp.where(t1 >= 0.0, t1, jnp.where(t2 >= 0.0, t2, _INF))
+            t = jnp.where((det >= 0.0) & (act > 0.0), t, _INF)
+            upd = t < bt
+            ts = jnp.where(upd, t, 0.0)  # keep NaNs out of unselected lanes
+            hx = ox + ts * dx - cx
+            hy = oy + ts * dy - cy
+            hz = oz + ts * dz - cz
+            hn = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
+            return (
+                jnp.where(upd, t, bt),
+                jnp.where(upd, hx * hn, nx),
+                jnp.where(upd, hy * hn, ny),
+                jnp.where(upd, hz * hn, nz),
+                jnp.where(upd, sph_m[i, 0], mat),
+            )
+
+        best_t, nx, ny, nz, mat = jax.lax.fori_loop(
+            0, n_sph, sph_body, (best_t, nx, ny, nz, mat)
+        )
+
+        def tri_body(i, c):
+            bt, nx, ny, nz, mat = c
+            v0x, v0y, v0z = tri_v0[i, 0], tri_v0[i, 1], tri_v0[i, 2]
+            e1x = tri_v1[i, 0] - v0x
+            e1y = tri_v1[i, 1] - v0y
+            e1z = tri_v1[i, 2] - v0z
+            e2x = tri_v2[i, 0] - v0x
+            e2y = tri_v2[i, 1] - v0y
+            e2z = tri_v2[i, 2] - v0z
+            act = tri_a[i, 0]
+            # rce = cross(d, e2)
+            rcx = dy * e2z - dz * e2y
+            rcy = dz * e2x - dx * e2z
+            rcz = dx * e2y - dy * e2x
+            det = e1x * rcx + e1y * rcy + e1z * rcz
+            nonpar = jnp.abs(det) >= _TRI_EPS
+            inv = 1.0 / jnp.where(nonpar, det, 1.0)
+            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+            u = inv * (sx * rcx + sy * rcy + sz * rcz)
+            # sce = cross(s, e1)
+            scx = sy * e1z - sz * e1y
+            scy = sz * e1x - sx * e1z
+            scz = sx * e1y - sy * e1x
+            v = inv * (dx * scx + dy * scy + dz * scz)
+            t = inv * (e2x * scx + e2y * scy + e2z * scz)
+            ok = (
+                nonpar
+                & (u >= _TRI_EPS)
+                & (u <= 1.0)
+                & (v >= _TRI_EPS)
+                & (u + v <= 1.0)
+                & (t >= _TRI_EPS)
+                & (act > 0.0)
+            )
+            t = jnp.where(ok, t, _INF)
+            upd = t < bt
+            # Face normal flipped to oppose the ray (rtx_frag.glsl:186).
+            fnx, fny, fnz = tri_n[i, 0], tri_n[i, 1], tri_n[i, 2]
+            s = jnp.where(fnx * dx + fny * dy + fnz * dz < 0.0, 1.0, -1.0)
+            return (
+                jnp.where(upd, t, bt),
+                jnp.where(upd, s * fnx, nx),
+                jnp.where(upd, s * fny, ny),
+                jnp.where(upd, s * fnz, nz),
+                jnp.where(upd, tri_m[i, 0], mat),
+            )
+
+        best_t, nx, ny, nz, mat = jax.lax.fori_loop(
+            0, n_tri, tri_body, (best_t, nx, ny, nz, mat)
+        )
+
+        hitmask = best_t < _INF
+        miss_now = alive & ~hitmask
+        ar = ar + jnp.where(miss_now, tr * sky_r, 0.0)
+        ag = ag + jnp.where(miss_now, tg * sky_g, 0.0)
+        ab = ab + jnp.where(miss_now, tb * sky_b, 0.0)
+        alive = alive & hitmask
+
+        ts = jnp.where(hitmask, best_t, 0.0)
+        px = ox + ts * dx
+        py = oy + ts * dy
+        pz = oz + ts * dz
+
+        # -- material fetch by index (uniform materials[] analog) --
+        alb_r = zero
+        alb_g = zero
+        alb_b = zero
+        eco_r = zero
+        eco_g = zero
+        eco_b = zero
+        est = zero
+        rgh = zero
+        trn = zero
+        ior = jnp.ones((th, tw), jnp.float32)
+
+        def mat_body(mi, c):
+            alr, alg, alb_, ecr, ecg, ecb, es, rg, tn, io = c
+            msk = mat == mi
+            return (
+                jnp.where(msk, m_alb[mi, 0], alr),
+                jnp.where(msk, m_alb[mi, 1], alg),
+                jnp.where(msk, m_alb[mi, 2], alb_),
+                jnp.where(msk, m_eco[mi, 0], ecr),
+                jnp.where(msk, m_eco[mi, 1], ecg),
+                jnp.where(msk, m_eco[mi, 2], ecb),
+                jnp.where(msk, m_est[mi, 0], es),
+                jnp.where(msk, m_rgh[mi, 0], rg),
+                jnp.where(msk, m_trn[mi, 0], tn),
+                jnp.where(msk, m_ior[mi, 0], io),
+            )
+
+        (alb_r, alb_g, alb_b, eco_r, eco_g, eco_b, est, rgh, trn, ior) = (
+            jax.lax.fori_loop(
+                0,
+                n_mat,
+                mat_body,
+                (alb_r, alb_g, alb_b, eco_r, eco_g, eco_b, est, rgh, trn, ior),
+            )
+        )
+
+        # Le then albedo (rtx_frag.glsl:226-230).
+        am = alive
+        ar = ar + jnp.where(am, tr * eco_r * est, 0.0)
+        ag = ag + jnp.where(am, tg * eco_g * est, 0.0)
+        ab = ab + jnp.where(am, tb * eco_b * est, 0.0)
+        tr = jnp.where(am, tr * alb_r, tr)
+        tg = jnp.where(am, tg * alb_g, tg)
+        tb = jnp.where(am, tb * alb_b, tb)
+
+        # 7-draw schedule: unit sphere + branch uniform.
+        rng, (sx_, sy_, sz_) = _unit_sphere(rng)
+        rng, u_branch = _uniform(rng)
+
+        # Roughness-perturbed normal (rtx_frag.glsl:233-234).
+        wnx = nx + rgh * sx_
+        wny = ny + rgh * sy_
+        wnz = nz + rgh * sz_
+        wn = jax.lax.rsqrt(jnp.maximum(wnx * wnx + wny * wny + wnz * wnz, 1e-20))
+        wnx, wny, wnz = wnx * wn, wny * wn, wnz * wn
+
+        ndot = dx * wnx + dy * wny + dz * wnz
+        # reflect
+        rfx = dx - 2.0 * ndot * wnx
+        rfy = dy - 2.0 * ndot * wny
+        rfz = dz - 2.0 * ndot * wnz
+        # refract with entering/exit flip (rtx_frag.glsl:249-259)
+        entering = ndot < 0.0
+        eta = jnp.where(entering, 1.0 / ior, ior)
+        rnx = jnp.where(entering, wnx, -wnx)
+        rny = jnp.where(entering, wny, -wny)
+        rnz = jnp.where(entering, wnz, -wnz)
+        ni = rnx * dx + rny * dy + rnz * dz
+        k = 1.0 - eta * eta * (1.0 - ni * ni)
+        tirm = k < 0.0
+        ksafe = jnp.where(tirm, 0.0, k)
+        coef = eta * ni + jnp.sqrt(ksafe)
+        txx = jnp.where(tirm, 0.0, eta * dx - coef * rnx)
+        txy = jnp.where(tirm, 0.0, eta * dy - coef * rny)
+        txz = jnp.where(tirm, 0.0, eta * dz - coef * rnz)
+
+        choose_refr = u_branch < trn
+        ndx = jnp.where(choose_refr, txx, rfx)
+        ndy = jnp.where(choose_refr, txy, rfy)
+        ndz = jnp.where(choose_refr, txz, rfz)
+        died = choose_refr & tirm
+        alive = alive & ~died
+        ndx = jnp.where(died, dx, ndx)
+        ndy = jnp.where(died, dy, ndy)
+        ndz = jnp.where(died, dz, ndz)
+
+        # Scale-adaptive normal offset (see models/integrator.py).
+        offs = DEFAULT_EPS_OFFSET + EPS_OFFSET_SCALE * jnp.sqrt(
+            px * px + py * py + pz * pz
+        )
+        side = jnp.where(ndx * nx + ndy * ny + ndz * nz >= 0.0, 1.0, -1.0)
+        nox = px + offs * side * nx
+        noy = py + offs * side * ny
+        noz = pz + offs * side * nz
+
+        am = alive
+        ox = jnp.where(am, nox, ox)
+        oy = jnp.where(am, noy, oy)
+        oz = jnp.where(am, noz, oz)
+        dx = jnp.where(am, ndx, dx)
+        dy = jnp.where(am, ndy, dy)
+        dz = jnp.where(am, ndz, dz)
+        alivef = jnp.where(alive, 1.0, 0.0).astype(jnp.float32)
+        return (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab, alivef, rng)
+
+    def sample_body(s, acc):
+        acc_r, acc_g, acc_b = acc
+        sample = (s + sample_offset).astype(jnp.uint32)
+        # seed_state (ops/rng.py): splitmix-style mix + two PCG rounds.
+        st = (
+            pix * _u32(0x9E3779B9)
+            ^ sample * _u32(0x85EBCA6B)
+            ^ seed * _u32(0xC2B2AE35)
+        )
+        st, _ = _pcg(st)
+        st, _ = _pcg(st)
+
+        ones = jnp.ones((th, tw), jnp.float32)
+        state0 = (
+            jnp.full((th, tw), cox),
+            jnp.full((th, tw), coy),
+            jnp.full((th, tw), coz),
+            pdx,
+            pdy,
+            pdz,
+            ones,
+            ones,
+            ones,
+            zero,
+            zero,
+            zero,
+            ones,  # alive mask as f32 (see bounce_body)
+            st,
+        )
+        out = jax.lax.fori_loop(0, max_bounces + 1, bounce_body, state0)
+        (_, _, _, _, _, _, tr, tg, tb, ar, ag, ab, alivef, _) = out
+        alive = alivef > 0.0
+        # Bounce budget exhausted -> sky (rtx_frag.glsl:212-214).
+        ar = ar + jnp.where(alive, tr * sky_r, 0.0)
+        ag = ag + jnp.where(alive, tg * sky_g, 0.0)
+        ab = ab + jnp.where(alive, tb * sky_b, 0.0)
+        return (acc_r + ar, acc_g + ag, acc_b + ab)
+
+    acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
+    inv = jnp.float32(1.0 / spp)
+    out_ref[0] = acc[0] * inv
+    out_ref[1] = acc[1] * inv
+    out_ref[2] = acc[2] * inv
+
+
+def _scene_operands(scene: Scene):
+    """Flatten the scene pytree into the kernel's SMEM operand list."""
+    tri_e1 = scene.triangles.v0 - scene.triangles.v1
+    tri_e2 = scene.triangles.v0 - scene.triangles.v2
+    tri_n = jnp.cross(tri_e1, tri_e2)
+    tri_n = tri_n * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(tri_n * tri_n, -1, keepdims=True), 1e-20)
+    )
+    f32 = jnp.float32
+    return [
+        scene.spheres.center.astype(f32),
+        scene.spheres.radius.astype(f32)[:, None],
+        scene.spheres.material.astype(jnp.int32)[:, None],
+        scene.spheres.active.astype(f32)[:, None],
+        scene.triangles.v0.astype(f32),
+        scene.triangles.v1.astype(f32),
+        scene.triangles.v2.astype(f32),
+        tri_n.astype(f32),
+        scene.triangles.material.astype(jnp.int32)[:, None],
+        scene.triangles.active.astype(f32)[:, None],
+        scene.materials.albedo.astype(f32),
+        scene.materials.emission_color.astype(f32),
+        scene.materials.emission_strength.astype(f32)[:, None],
+        scene.materials.roughness.astype(f32)[:, None],
+        scene.materials.transparency.astype(f32)[:, None],
+        scene.materials.refractive_index.astype(f32)[:, None],
+    ]
+
+
+def _camera_params(camera: Camera, scene: Scene, height: int, width: int):
+    tan2 = jnp.tan(camera.fov * 0.5)
+    par = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    tan2,
+                    jnp.float32(width / height),
+                    jnp.float32(width),
+                    jnp.float32(height),
+                ]
+            ),
+            scene.sky_color.astype(jnp.float32),
+            camera.origin.astype(jnp.float32),
+            camera.right.astype(jnp.float32),
+            camera.up.astype(jnp.float32),
+            camera.forward.astype(jnp.float32),
+        ]
+    )
+    return par[None, :]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "spp", "max_bounces", "tile", "interpret"),
+)
+def render_pallas(
+    scene: Scene,
+    camera: Camera,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounces: int,
+    seed,
+    sample_offset=0,
+    tile: tuple[int, int] = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Radiance image (H, W, 3) f32 via the Pallas megakernel.
+
+    H/W must be divisible by the tile (use the wrapper in models for
+    arbitrary sizes). ``interpret=True`` runs the kernel in interpreter
+    mode for CPU-side validation.
+    """
+    th, tw = tile
+    th = min(th, height)
+    tw = min(tw, width)
+    if height % th or width % tw:
+        raise ValueError(f"{height}x{width} not divisible by tile {th}x{tw}")
+    # Interpreter mode off-TPU: the Mosaic lowering is TPU-only, and the
+    # interpreter reproduces the same jnp ops bit-for-bit on CPU (the test
+    # backend).
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    kern = partial(
+        _kernel,
+        th=th,
+        tw=tw,
+        n_sph=scene.num_spheres,
+        n_tri=scene.num_triangles,
+        n_mat=scene.num_materials,
+        spp=spp,
+        max_bounces=max_bounces,
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    par_i = jnp.stack(
+        [jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+         jnp.asarray(sample_offset, jnp.int32)]
+    )[None, :]
+
+    operands = _scene_operands(scene) + [
+        _camera_params(camera, scene, height, width),
+        par_i,
+    ]
+    out = pl.pallas_call(
+        kern,
+        grid=(height // th, width // tw),
+        in_specs=[smem() for _ in operands],
+        out_specs=pl.BlockSpec(
+            (3, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, height, width), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+    return jnp.transpose(out, (1, 2, 0))
+
+
+# -- differentiable wrapper: Pallas forward, core-path backward -------------
+
+
+@partial(
+    jax.custom_vjp,
+    nondiff_argnums=(2, 3, 4, 5),
+)
+def render_pallas_vjp(scene, camera, height, width, spp, max_bounces, seed):
+    """Differentiable fast render: megakernel forward, XLA-AD backward.
+
+    Forward and backward consume identical RNG streams (same counter
+    seeding), so the backward is the exact VJP of the forward estimator up
+    to f32 rounding between the two implementations.
+    """
+    return render_pallas(scene, camera, height, width, spp, max_bounces, seed)
+
+
+def _fwd(scene, camera, height, width, spp, max_bounces, seed):
+    out = render_pallas(scene, camera, height, width, spp, max_bounces, seed)
+    return out, (scene, camera, seed)
+
+
+def _bwd(height, width, spp, max_bounces, res, g):
+    from ..models.integrator import render_radiance
+
+    scene, camera, seed = res
+    _, vjp = jax.vjp(
+        lambda sc, cam: render_radiance(
+            sc, cam, height, width, spp, max_bounces, seed, remat=True
+        ),
+        scene,
+        camera,
+    )
+    d_scene, d_camera = vjp(g)
+    return d_scene, d_camera, None
+
+
+render_pallas_vjp.defvjp(_fwd, _bwd)

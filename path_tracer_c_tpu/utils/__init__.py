@@ -1,4 +1,4 @@
 """Host-side utilities: image IO, config, metrics, profiling, checkpointing."""
-from . import bitmap
+from . import bitmap, checkpoint, config, metrics, profiling
 
-__all__ = ["bitmap"]
+__all__ = ["bitmap", "checkpoint", "config", "metrics", "profiling"]
