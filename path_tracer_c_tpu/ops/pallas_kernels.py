@@ -40,7 +40,12 @@ from ..models.integrator import DEFAULT_EPS_OFFSET, EPS_OFFSET_SCALE
 
 __all__ = ["render_pallas", "render_pallas_vjp", "DEFAULT_TILE"]
 
-DEFAULT_TILE = (128, 128)
+# One VPU vreg is (8, 128) f32: an (8, 128) tile makes every loop-carried
+# state plane exactly one vreg, so the bounce/sample loops stay entirely in
+# vector registers. Bigger tiles multiply the carried-vreg count (a
+# (128,128) tile carries 14 planes x 16 vregs = 224 vregs) which spills to
+# VMEM and blows up Mosaic compile time.
+DEFAULT_TILE = (8, 128)
 # Plain numpy scalars: module-level jnp values would be captured as
 # constants by pallas_call, which rejects them.
 _INF = np.float32(np.inf)
