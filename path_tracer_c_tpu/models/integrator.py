@@ -55,7 +55,10 @@ DEFAULT_EPS_OFFSET = 1e-4  # rtx_frag.glsl:239,263
 EPS_OFFSET_SCALE = 4e-6  # extra offset per unit |hit point| (f32 round-off)
 
 
-def trace_paths(scene: Scene, origins, directions, state, max_bounces: int):
+def trace_paths(
+    scene: Scene, origins, directions, state, max_bounces: int,
+    variant: str = "gpu",
+):
     """Estimate incident radiance for a wavefront of rays.
 
     Args:
@@ -64,10 +67,21 @@ def trace_paths(scene: Scene, origins, directions, state, max_bounces: int):
       state: (N,) uint32 counter-based RNG state (one stream per ray).
       max_bounces: static bounce cap; ``max_bounces + 1`` trace rounds run,
         matching the stack semantics of rtx_frag.glsl:212-214.
+      variant: "gpu" (default — rtx_frag.glsl semantics) or "cpu", which
+        reproduces the compiled-out CPU backend's deltas (SURVEY.md SS3.3):
+        biased cube sphere sampling (src/renderer.c:11-19), normal
+        deviation scaled roughness*0.5 (src/renderer.c:40), hard-coded IOR
+        1.5 ignoring the material (src/renderer.c:58), and a final [0,1]
+        clamp per sample (src/renderer.c:88). The CPU backend's two-branch
+        recursion tree is estimated by the same single-path selection
+        (identical expectation; exact for transparency in {0, 1}).
 
     Returns:
       (radiance (N, 3), final RNG state).
     """
+    if variant not in ("gpu", "cpu"):
+        raise ValueError(f"unknown variant {variant!r}")
+    cpu_tier = variant == "cpu"
     n = origins.shape[0]
     sky = scene.sky_color[None, :]
     mats = scene.materials
@@ -89,13 +103,20 @@ def trace_paths(scene: Scene, origins, directions, state, max_bounces: int):
         rough = mats.roughness[m]
         transp = mats.transparency[m]
         ior = mats.refractive_index[m]
+        if cpu_tier:
+            rough = rough * 0.5  # src/renderer.c:40
+            ior = jnp.full_like(ior, 1.5)  # src/renderer.c:58
 
         # Le then albedo, in the reference's order (rtx_frag.glsl:226-230).
         total = total + jnp.where(live, thr * emission, 0.0)
         thr = jnp.where(live, thr * albedo, thr)
 
-        # Fixed 7-draw schedule: unit sphere (6) + branch uniform (1).
-        st, sph = _rng.unit_sphere(st)
+        # Fixed draw schedule: unit sphere (6 draws gpu / 3 cpu-biased)
+        # + branch uniform (1), drawn unconditionally for lane lockstep.
+        if cpu_tier:
+            st, sph = _rng.unit_sphere_biased(st)
+        else:
+            st, sph = _rng.unit_sphere(st)
         st, u_branch = _rng.uniform(st)
 
         nrm = perturb_normal(hit.normal, sph, rough)
@@ -149,6 +170,8 @@ def trace_paths(scene: Scene, origins, directions, state, max_bounces: int):
     # Bounce budget exhausted -> sky, like stack items popped with
     # bounces > MAX_BOUNCES (rtx_frag.glsl:212-214).
     total = total + jnp.where(alive[:, None], thr * sky, 0.0)
+    if cpu_tier:
+        total = jnp.clip(total, 0.0, 1.0)  # per-sample clamp, renderer.c:88
     return total, st
 
 
@@ -165,6 +188,7 @@ def render_tile(
     sample_offset=0,
     row_start=0,
     rows: int | None = None,
+    variant: str = "gpu",
 ):
     """Monte-Carlo radiance for a row block: (rows, W, 3) f32 mean over spp.
 
@@ -194,7 +218,7 @@ def render_tile(
             )
         else:
             o, d = rays
-        radiance, _ = trace_paths(scene, o, d, st, max_bounces)
+        radiance, _ = trace_paths(scene, o, d, st, max_bounces, variant=variant)
         return radiance
 
     if remat:
@@ -220,6 +244,7 @@ def render_radiance(
     jitter: bool = False,
     remat: bool = False,
     sample_offset=0,
+    variant: str = "gpu",
 ):
     """Full-image radiance, (H, W, 3) f32 — :func:`render_tile` over all rows."""
     return render_tile(
@@ -233,6 +258,7 @@ def render_radiance(
         jitter=jitter,
         remat=remat,
         sample_offset=sample_offset,
+        variant=variant,
     )
 
 

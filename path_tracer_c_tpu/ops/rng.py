@@ -33,6 +33,7 @@ __all__ = [
     "uniform",
     "normal",
     "unit_sphere",
+    "unit_sphere_biased",
     "seed_state",
 ]
 
@@ -102,6 +103,23 @@ def unit_sphere(state):
     state, y = normal(state)
     state, z = normal(state)
     v = jnp.stack([x, y, z], axis=-1)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-20))
+    return state, v / norm
+
+
+def unit_sphere_biased(state):
+    """The CPU backend's *biased* sphere sampler (src/renderer.c:11-19).
+
+    Normalizes a uniform sample of the cube [-1, 1]^3 — directions toward
+    cube corners are over-represented. Kept verbatim as the "cpu" capability
+    tier's sampler (SURVEY.md SS3.3 documents the two tiers); the default
+    tier uses the unbiased Gaussian :func:`unit_sphere`. Three uniforms are
+    drawn (the reference draws ``random()`` three times).
+    """
+    state, x = uniform(state)
+    state, y = uniform(state)
+    state, z = uniform(state)
+    v = jnp.stack([x, y, z], axis=-1) * 2.0 - 1.0
     norm = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-20))
     return state, v / norm
 

@@ -60,6 +60,16 @@ def unit_sphere(state: int):
     return state, v / n
 
 
+def unit_sphere_biased(state: int):
+    """CPU-tier biased cube sampler (src/renderer.c:11-19)."""
+    state, x = uniform(state)
+    state, y = uniform(state)
+    state, z = uniform(state)
+    v = np.array([x, y, z], dtype=np.float64) * 2.0 - 1.0
+    n = math.sqrt(max(float(v @ v), 1e-20))
+    return state, v / n
+
+
 def seed_state(pixel_idx: int, sample_idx: int, root_seed: int) -> int:
     s = (
         (pixel_idx * 0x9E3779B9) & _MASK
@@ -159,26 +169,32 @@ def refract(i, n, eta):
     return eta * i - (eta * ni + math.sqrt(k)) * n
 
 
-def incident_light(sc, o, d, state, max_bounces):
+def incident_light(sc, o, d, state, max_bounces, variant="gpu"):
     """Single-path estimator, one scalar ray: mirrors trace_paths."""
+    cpu_tier = variant == "cpu"
     total = np.zeros(3)
     thr = np.ones(3)
     for _ in range(max_bounces + 1):
         hit = trace_ray(sc, o, d)
         if hit is None:
-            return total + thr * sc["sky"], state
+            out = total + thr * sc["sky"]
+            return (np.clip(out, 0, 1) if cpu_tier else out), state
         _, p, n_geom, mi = hit
         mat_emission = sc["m_emission_color"][mi] * sc["m_emission_strength"][mi]
         total = total + thr * mat_emission
         thr = thr * sc["m_albedo"][mi]
 
-        state, sph = unit_sphere(state)
+        if cpu_tier:
+            state, sph = unit_sphere_biased(state)
+        else:
+            state, sph = unit_sphere(state)
         state, u_branch = uniform(state)
 
-        n = _normalize(n_geom + sc["m_roughness"][mi] * sph)
+        rough = sc["m_roughness"][mi] * (0.5 if cpu_tier else 1.0)
+        n = _normalize(n_geom + rough * sph)
         transp = sc["m_transparency"][mi]
         if u_branch < transp:
-            ior = sc["m_ior"][mi]
+            ior = 1.5 if cpu_tier else sc["m_ior"][mi]
             ndot = float(d @ n)
             if ndot < 0:
                 eta, rn = 1.0 / ior, n
@@ -186,7 +202,8 @@ def incident_light(sc, o, d, state, max_bounces):
                 eta, rn = ior, -n
             new_d = refract(d, rn, eta)
             if new_d is None:
-                return total, state  # TIR refract ray dropped (glsl:261-262)
+                # TIR refract ray dropped (glsl:261-262)
+                return (np.clip(total, 0, 1) if cpu_tier else total), state
         else:
             new_d = reflect(d, n)
         # Scale-adaptive normal offset — see models/integrator.py.
@@ -194,7 +211,8 @@ def incident_light(sc, o, d, state, max_bounces):
         side = 1.0 if float(new_d @ n_geom) >= 0 else -1.0
         o = p + offs * side * n_geom
         d = new_d
-    return total + thr * sc["sky"], state
+    out = total + thr * sc["sky"]
+    return (np.clip(out, 0, 1) if cpu_tier else out), state
 
 
 def scene_to_numpy(scene):
@@ -224,7 +242,8 @@ def scene_to_numpy(scene):
     )
 
 
-def render(scene, height, width, spp, max_bounces, seed, fov_deg=90.0):
+def render(scene, height, width, spp, max_bounces, seed, fov_deg=90.0,
+           variant="gpu"):
     """Golden radiance image, (H, W, 3) float64. Slow; keep images tiny."""
     sc = scene_to_numpy(scene)
     aspect = width / height
@@ -240,7 +259,9 @@ def render(scene, height, width, spp, max_bounces, seed, fov_deg=90.0):
             pixel_idx = py * width + px
             for s in range(spp):
                 state = seed_state(pixel_idx, s, seed)
-                li, _ = incident_light(sc, o.copy(), d.copy(), state, max_bounces)
+                li, _ = incident_light(
+                    sc, o.copy(), d.copy(), state, max_bounces, variant
+                )
                 acc += li
             img[py, px] = acc / spp
     return img

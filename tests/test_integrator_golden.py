@@ -110,3 +110,32 @@ def test_image_u8_conversion():
     u8 = np.asarray(pt.render_image_u8(rad))
     assert u8.dtype == np.uint8
     assert list(u8[0, 0]) == [0, 128, 255]
+
+
+def test_golden_cpu_tier():
+    """The "cpu" capability tier (biased sampler, roughness*0.5, IOR 1.5,
+    per-sample clamp — SURVEY.md SS3.3) vs the scalar oracle."""
+    scene = demo.demo_scene()
+    cam = pt.Camera.reference()
+    h, w, spp, bounces, seed = 12, 16, 2, 4, 21
+    img = np.asarray(
+        pt.render_radiance(
+            scene, cam, h, w, spp, bounces, jnp.uint32(seed), variant="cpu"
+        )
+    )
+    gold = ref.render(scene, h, w, spp, bounces, seed, variant="cpu")
+    err = np.abs(img - gold)
+    assert np.quantile(err, 0.99) < 5e-4, np.quantile(err, 0.99)
+    assert img.max() <= 1.0  # per-sample clamp (src/renderer.c:88)
+
+
+def test_cpu_tier_differs_from_gpu_tier():
+    scene = demo.demo_scene()
+    cam = pt.Camera.reference()
+    a = np.asarray(
+        pt.render_radiance(scene, cam, 8, 8, 2, 3, jnp.uint32(1), variant="gpu")
+    )
+    b = np.asarray(
+        pt.render_radiance(scene, cam, 8, 8, 2, 3, jnp.uint32(1), variant="cpu")
+    )
+    assert not np.allclose(a, b)
