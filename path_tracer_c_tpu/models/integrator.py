@@ -58,6 +58,7 @@ EPS_OFFSET_SCALE = 4e-6  # extra offset per unit |hit point| (f32 round-off)
 def trace_paths(
     scene: Scene, origins, directions, state, max_bounces: int,
     variant: str = "gpu",
+    remat: bool = False,
 ):
     """Estimate incident radiance for a wavefront of rays.
 
@@ -165,7 +166,11 @@ def trace_paths(
     thr = jnp.ones_like(origins)
     alive = jnp.ones((n,), dtype=bool)
     carry = (origins, directions, thr, total, alive, state)
-    carry, _ = jax.lax.scan(step, carry, None, length=max_bounces + 1)
+    # remat: recompute each bounce in the backward pass, storing only the
+    # O(N) carries — without it reverse-mode keeps every bounce's (N, S+T)
+    # intersection intermediates alive and OOMs at production resolutions.
+    step_fn = jax.checkpoint(step) if remat else step
+    carry, _ = jax.lax.scan(step_fn, carry, None, length=max_bounces + 1)
     o, d, thr, total, alive, st = carry
     # Bounce budget exhausted -> sky, like stack items popped with
     # bounces > MAX_BOUNCES (rtx_frag.glsl:212-214).
@@ -218,7 +223,9 @@ def render_tile(
             )
         else:
             o, d = rays
-        radiance, _ = trace_paths(scene, o, d, st, max_bounces, variant=variant)
+        radiance, _ = trace_paths(
+            scene, o, d, st, max_bounces, variant=variant, remat=remat
+        )
         return radiance
 
     if remat:

@@ -132,3 +132,29 @@ def test_native_threadpool():
     assert pool.size == 4
     pool.wait()  # empty pool wait must not deadlock
     pool.close()
+
+
+# -- profiling --------------------------------------------------------------
+
+def test_roofline_estimate():
+    from path_tracer_c_tpu.utils import profiling
+
+    r = profiling.roofline(256, 256, 8, 4, n_spheres=16, n_triangles=8,
+                           n_materials=16)
+    assert r["rays"] == 256 * 256 * 8 * 5
+    assert r["flops"] == r["rays"] * r["flops_per_ray"]
+    assert r["sol_seconds"] > 0
+
+
+def test_time_fn():
+    import jax.numpy as jnp
+    from path_tracer_c_tpu.utils import profiling
+
+    t = profiling.time_fn(lambda x: x * 2, jnp.ones(16), warmup=1, iters=3)
+    assert t >= 0
+
+
+def test_distributed_initialize_single_process_noop():
+    from path_tracer_c_tpu.parallel import distributed
+
+    distributed.initialize(num_processes=1)  # must not raise
