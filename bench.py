@@ -61,12 +61,16 @@ def main():
         # the execution layer, which would fake a ~0 wall time.
         return render_pallas(scene, cam, H, W, SPP, BOUNCES, s)
 
-    # forward: warmup (compile) + timed runs
-    jax.block_until_ready(fwd(jnp.uint32(100)))
+    # forward: warmup (compile) + timed runs. Completion is forced via a
+    # device-side reduction fetched to host — block_until_ready alone has
+    # been observed to return before the execution drains on tunneled
+    # backends.
+    force = jax.jit(lambda x: jnp.sum(x))
+    float(force(fwd(jnp.uint32(100))))
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fwd(jnp.uint32(i + 1)))
+        float(force(fwd(jnp.uint32(i + 1))))
         times.append(time.perf_counter() - t0)
     fwd_s = sorted(times)[len(times) // 2]
     rays = rays_per_render(H, W, SPP, BOUNCES)
@@ -95,11 +99,15 @@ def main():
             allow_int=True,
         )
     )
-    jax.block_until_ready(grad_fn2(scene, jnp.uint32(100)))
+    force_tree = lambda g: float(
+        sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(g)
+            if jnp.issubdtype(l.dtype, jnp.floating))
+    )
+    force_tree(grad_fn2(scene, jnp.uint32(100)))
     times = []
     for i in range(2):
         t0 = time.perf_counter()
-        jax.block_until_ready(grad_fn2(scene, jnp.uint32(i + 1)))
+        force_tree(grad_fn2(scene, jnp.uint32(i + 1)))
         times.append(time.perf_counter() - t0)
     bwd_s = sorted(times)[len(times) // 2]
     bwd_rps = rays_per_render(H, W, SPP_B, BOUNCES) / bwd_s

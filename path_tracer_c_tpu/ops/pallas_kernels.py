@@ -157,12 +157,7 @@ def _kernel(
 
     zero = jnp.zeros((th, tw), jnp.float32)
 
-    def bounce_body(_, st8):
-        # alive travels as f32 0/1: Mosaic cannot carry i1 vectors
-        # through scf.for loops.
-        (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab, alivef, rng) = st8
-        alive = alivef > 0.0
-
+    def closest_hit(ox, oy, oz, dx, dy, dz):
         # -- closest hit: spheres then triangles (rtx_frag.glsl:158-192) --
         best_t = jnp.full((th, tw), _INF)
         nx = zero
@@ -255,6 +250,16 @@ def _kernel(
         best_t, nx, ny, nz, mat = jax.lax.fori_loop(
             0, n_tri, tri_body, (best_t, nx, ny, nz, mat)
         )
+        return best_t, nx, ny, nz, mat
+
+    def shade(hit, st8):
+        """One bounce's shading + next-ray update, given the closest hit.
+
+        alive travels as f32 0/1: Mosaic cannot carry i1 vectors through
+        scf loops."""
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab, alivef, rng) = st8
+        best_t, nx, ny, nz, mat = hit
+        alive = alivef > 0.0
 
         hitmask = best_t < _INF
         miss_now = alive & ~hitmask
@@ -374,6 +379,14 @@ def _kernel(
         alivef = jnp.where(alive, 1.0, 0.0).astype(jnp.float32)
         return (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab, alivef, rng)
 
+    # The first trace round is RNG-independent (all samples share the same
+    # camera ray — the reference shoots identical primary rays per pixel,
+    # rtx_frag.glsl:288-292), so hoist it out of the sample loop.
+    cam_ox = jnp.full((th, tw), cox)
+    cam_oy = jnp.full((th, tw), coy)
+    cam_oz = jnp.full((th, tw), coz)
+    hit0 = closest_hit(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
+
     def sample_body(s, acc):
         acc_r, acc_g, acc_b = acc
         sample = (s + sample_offset).astype(jnp.uint32)
@@ -388,22 +401,28 @@ def _kernel(
 
         ones = jnp.ones((th, tw), jnp.float32)
         state0 = (
-            jnp.full((th, tw), cox),
-            jnp.full((th, tw), coy),
-            jnp.full((th, tw), coz),
-            pdx,
-            pdy,
-            pdz,
-            ones,
-            ones,
-            ones,
-            zero,
-            zero,
-            zero,
-            ones,  # alive mask as f32 (see bounce_body)
+            cam_ox, cam_oy, cam_oz,
+            pdx, pdy, pdz,
+            ones, ones, ones,
+            zero, zero, zero,
+            ones,  # alive mask as f32 (see shade)
             st,
         )
-        out = jax.lax.fori_loop(0, max_bounces + 1, bounce_body, state0)
+        st8 = shade(hit0, state0)
+
+        # Remaining bounces with early exit: once every lane in the tile
+        # is dead (sky hit / TIR), skip the rest of the bounce budget —
+        # dead lanes contribute nothing, so this is exact.
+        def w_cond(carry):
+            b, s8 = carry
+            return (b < max_bounces + 1) & (jnp.max(s8[12]) > 0.0)
+
+        def w_body(carry):
+            b, s8 = carry
+            hit = closest_hit(s8[0], s8[1], s8[2], s8[3], s8[4], s8[5])
+            return b + 1, shade(hit, s8)
+
+        _, out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(1), st8))
         (_, _, _, _, _, _, tr, tg, tb, ar, ag, ab, alivef, _) = out
         alive = alivef > 0.0
         # Bounce budget exhausted -> sky (rtx_frag.glsl:212-214).

@@ -111,9 +111,8 @@ class Scene:
         return self.materials.roughness.shape[0]
 
 
-def _round_up(n: int, base: int) -> int:
-    n = max(n, 1)
-    return ((n + base - 1) // base) * base
+def _cap(n: int) -> int:
+    return max(n, 1)
 
 
 @dataclass
@@ -192,13 +191,15 @@ class SceneBuilder:
     ) -> Scene:
         """Freeze into a static-shape SoA ``Scene`` pytree.
 
-        Capacities are padded to a power-of-two-ish multiple so that scenes
-        of similar size share a jit cache entry; explicit capacities let the
-        animated path keep one compiled executable while objects move.
+        Capacities default to the exact object counts — padding slots cost
+        real intersection work in the kernels' per-object loops. Pass
+        explicit capacities when a fixed layout should survive scene edits
+        (e.g. the animated path keeping one compiled executable while
+        objects are added).
         """
         ns, nt = len(self._spheres), len(self._triangles)
-        cap_s = sphere_capacity if sphere_capacity is not None else _round_up(ns, 8)
-        cap_t = triangle_capacity if triangle_capacity is not None else _round_up(nt, 8)
+        cap_s = sphere_capacity if sphere_capacity is not None else _cap(ns)
+        cap_t = triangle_capacity if triangle_capacity is not None else _cap(nt)
         if cap_s < ns or cap_t < nt:
             raise ValueError("capacity smaller than object count")
         nm = max(len(self._materials), 1)
