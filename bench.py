@@ -76,22 +76,27 @@ def main():
     rays = rays_per_render(H, W, SPP, BOUNCES)
     fwd_rps = rays / fwd_s
 
-    # fwd+bwd: gradient of pixel loss w.r.t. the scene, smaller spp to
-    # bound bench wall time, same rays metric definition (fwd rays only;
-    # the backward re-traces once more under remat, so wall time covers
-    # ~2 forward-equivalents plus the VJP).
+    # fwd+bwd: gradient of pixel loss w.r.t. the scene via the Pallas
+    # forward + hand-written suffix-sweep backward kernel (ops/pallas_grad).
+    # Rays metric counts forward trace rounds; the backward replays them
+    # once more, so wall time covers ~2 forward-equivalents.
+    from path_tracer_c_tpu.ops.pallas_kernels import render_pallas_vjp
+
     SPP_B = max(SPP // 4, 1)
     target = jax.block_until_ready(
         render_radiance(scene, cam, H, W, 1, BOUNCES, jnp.uint32(9))
     )
 
+    fwd_bwd_engine = render_pallas_vjp if on_tpu else (
+        lambda sc, c, h, w, sp, b, sd: render_radiance(
+            sc, c, h, w, sp, b, sd, remat=True
+        )
+    )
     grad_fn2 = jax.jit(
         jax.grad(
             lambda sc, sd: jnp.mean(
                 (
-                    render_radiance(
-                        sc, cam, H, W, SPP_B, BOUNCES, sd, remat=True
-                    )
+                    fwd_bwd_engine(sc, cam, H, W, SPP_B, BOUNCES, sd)
                     - target
                 )
                 ** 2

@@ -576,18 +576,32 @@ def _fwd(scene, camera, height, width, spp, max_bounces, seed):
     return out, (scene, camera, seed)
 
 
+def _float0_ints(cotangent, primal):
+    """Replace int/bool-leaf cotangents with float0 zeros (custom_vjp
+    contract for non-differentiable leaves)."""
+    import numpy as np
+
+    def fix(c, p):
+        if jnp.issubdtype(p.dtype, jnp.floating):
+            return c
+        return np.zeros(np.shape(p), dtype=jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(fix, cotangent, primal)
+
+
 def _bwd(height, width, spp, max_bounces, res, g):
-    from ..models.integrator import render_radiance
+    from .pallas_grad import render_pallas_bwd
 
     scene, camera, seed = res
-    _, vjp = jax.vjp(
-        lambda sc, cam: render_radiance(
-            sc, cam, height, width, spp, max_bounces, seed, remat=True
-        ),
-        scene,
-        camera,
+    # Hand-written suffix-sweep kernel (see pallas_grad.py): exact VJP of
+    # the estimator at megakernel speed. Camera cotangents are exactly
+    # zero (radiance is piecewise-constant in camera parameters under this
+    # shading model, like geometry — grad/diff.py).
+    d_scene = render_pallas_bwd(
+        scene, camera, g, height, width, spp, max_bounces, seed
     )
-    d_scene, d_camera = vjp(g)
+    d_scene = _float0_ints(d_scene, scene)
+    d_camera = jax.tree_util.tree_map(jnp.zeros_like, camera)
     return d_scene, d_camera, None
 
 
