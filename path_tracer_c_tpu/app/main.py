@@ -65,6 +65,13 @@ def _render_once(scene, camera, cfg, seed, sample_offset=0):
             scene, camera, cfg.height, cfg.width, cfg.spp, cfg.max_bounces,
             jnp.uint32(seed), mesh, jitter=cfg.jitter,
         )
+    if cfg.engine == "physical":
+        from ..models.physical import render_physical
+
+        return render_physical(
+            scene, camera, cfg.height, cfg.width, cfg.spp, cfg.max_bounces,
+            jnp.uint32(seed), jitter=cfg.jitter, sample_offset=sample_offset,
+        )
     if cfg.engine == "pallas":
         th = min(cfg.tile_h, cfg.height)
         tw = min(cfg.tile_w, cfg.width)
@@ -266,7 +273,7 @@ def build_parser():
         sp.add_argument("--height", type=int)
         sp.add_argument("--spp", type=int)
         sp.add_argument("--max-bounces", type=int, dest="max_bounces")
-        sp.add_argument("--engine", choices=["pallas", "core"])
+        sp.add_argument("--engine", choices=["pallas", "core", "physical"])
         sp.add_argument("--metrics", help="metrics JSONL output path")
 
     r = sub.add_parser("render", help="offline render to BMP")

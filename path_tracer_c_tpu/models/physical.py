@@ -1,0 +1,301 @@
+"""Physically-based shading mode: importance-sampled BRDF + NEE.
+
+An *extension* beyond the reference's stylized shading (the reference has
+no BRDF normalization, cosine terms or light sampling — rtx_frag.glsl:
+226-246 multiplies albedo and perturbs a mirror direction). This mode is
+the "importance-sampled BRDF" tier of BASELINE config 3 and, crucially,
+gives the estimator **continuous geometry dependence** — cosine and
+solid-angle factors — so sphere-light position/radius gradients become
+nonzero and finite-difference-matchable (the reference shading model's
+interior geometry gradient is exactly zero; see grad/diff.py).
+
+Material interpretation (same scene schema as the reference tier):
+
+* albedo   -> Lambert reflectance (f = albedo / pi); specular tint
+* roughness-> mixture weight: diffuse with probability ``roughness``,
+  mirror-specular with probability ``1 - roughness``
+* transparency / refractive_index -> perfect refraction branch, as in the
+  reference tier
+* emission -> Le
+
+Estimator:
+
+* BSDF sampling: cosine-weighted hemisphere for the diffuse lobe (the
+  cos/pdf factor cancels to exactly ``albedo``), mirror direction for the
+  specular lobe.
+* Next-event estimation: at every diffuse vertex, sample one emissive
+  *sphere* by solid-angle cone sampling, cast a shadow ray, and add
+  ``thr * (albedo/pi) * Le * cos(theta) * n_emitters / pdf_omega``.
+  Radiance an emitter would contribute through a *diffuse-sampled* ray is
+  then skipped at the next vertex (single-counting); specular/refract
+  chains and camera rays still collect Le directly. Emissive triangles
+  are not light-sampled and keep direct accumulation.
+
+RNG: fixed 7-draw schedule per bounce (u_transp, u_lobe, 2 BSDF, 1 pick,
+2 cone), all lanes in lockstep.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rng as _rng
+from ..ops.camera import Camera, pixel_indices, primary_rays
+from ..ops.intersect import ray_sphere_t, trace
+from ..ops.sampling import reflect, refract
+from ..scene.scene import Scene
+from .integrator import DEFAULT_EPS_OFFSET, EPS_OFFSET_SCALE
+
+__all__ = ["trace_paths_physical", "render_physical"]
+
+_PI = math.pi
+_TWO_PI = 2.0 * math.pi
+
+
+def _onb(n):
+    """Branchless orthonormal basis around unit n (Duff et al. 2017)."""
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    t = jnp.stack([1.0 + sign * nx * nx * a, sign * b, -sign * nx], axis=-1)
+    bv = jnp.stack([b, sign + ny * ny * a, -ny], axis=-1)
+    return t, bv
+
+
+def _cosine_hemisphere(n, u1, u2):
+    """Cosine-weighted direction about n; pdf = cos(theta)/pi."""
+    r = jnp.sqrt(u1)
+    phi = _TWO_PI * u2
+    lx = r * jnp.cos(phi)
+    ly = r * jnp.sin(phi)
+    lz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+    t, b = _onb(n)
+    return lx[..., None] * t + ly[..., None] * b + lz[..., None] * n
+
+
+def trace_paths_physical(
+    scene: Scene,
+    origins,
+    directions,
+    state,
+    max_bounces: int,
+    nee: bool = True,
+):
+    """Physical-mode radiance estimate for a wavefront; see module doc."""
+    n = origins.shape[0]
+    sky = scene.sky_color[None, :]
+    mats = scene.materials
+    sg = jax.lax.stop_gradient
+
+    # Emissive-sphere table for NEE (static shapes; counts are traced).
+    sph = scene.spheres
+    em_mask = sph.active & (mats.emission_strength[sph.material] > 0.0)
+    n_em = jnp.sum(em_mask.astype(jnp.int32))
+    em_cum = jnp.cumsum(em_mask.astype(jnp.int32))
+
+    def step(carry, _):
+        o, d, thr, total, alive, prev_diff, st = carry
+        hit = trace(o, d, scene)
+
+        miss_now = alive & ~hit.mask
+        total = total + jnp.where(miss_now[:, None], thr * sky, 0.0)
+        alive = alive & hit.mask
+        live = alive[:, None]
+
+        m = hit.material
+        albedo = mats.albedo[m]
+        emission = mats.emission_color[m] * mats.emission_strength[m][:, None]
+        rough = mats.roughness[m]
+        transp = mats.transparency[m]
+        ior = mats.refractive_index[m]
+
+        # Le, skipped when the vertex was reached by a diffuse-sampled ray
+        # and this emitter was light-sampleable (sphere emitter, NEE on).
+        nee_counted = (
+            prev_diff
+            & hit.is_sphere
+            & (mats.emission_strength[m] > 0.0)
+            & (n_em > 0)
+        ) if nee else jnp.zeros_like(prev_diff)
+        add_le = alive & ~nee_counted
+        total = total + jnp.where(add_le[:, None], thr * emission, 0.0)
+
+        # Fixed 7-draw schedule.
+        st, u_transp = _rng.uniform(st)
+        st, u_lobe = _rng.uniform(st)
+        st, u1 = _rng.uniform(st)
+        st, u2 = _rng.uniform(st)
+        st, u_pick = _rng.uniform(st)
+        st, v1 = _rng.uniform(st)
+        st, v2 = _rng.uniform(st)
+
+        nrm = hit.normal  # geometric normal (already opposes the ray)
+
+        # -- branch selection --
+        choose_refr = u_transp < sg(transp)
+        choose_diff = (~choose_refr) & (u_lobe < sg(rough))
+        ratio = jnp.where(
+            choose_refr,
+            transp / jnp.maximum(sg(transp), 1e-6),
+            (1.0 - transp) / jnp.maximum(sg(1.0 - transp), 1e-6),
+        )
+        thr = jnp.where(live, thr * ratio[:, None], thr)
+
+        # refract (reference-tier physics)
+        ndot = jnp.sum(d * nrm, axis=-1, keepdims=True)
+        entering = ndot < 0.0
+        eta = jnp.where(entering[..., 0], 1.0 / ior, ior)[:, None]
+        refr_normal = jnp.where(entering, nrm, -nrm)
+        refr_dir, tir = refract(d, refr_normal, eta)
+        # specular mirror
+        spec_dir = reflect(d, nrm)
+        # cosine-weighted diffuse
+        diff_dir = _cosine_hemisphere(nrm, u1, u2)
+
+        new_d = jnp.where(
+            choose_refr[:, None],
+            refr_dir,
+            jnp.where(choose_diff[:, None], diff_dir, spec_dir),
+        )
+        died = choose_refr & tir
+        alive = alive & ~died
+        live = alive[:, None]
+        new_d = jnp.where(died[:, None], d, new_d)
+
+        # -- NEE at diffuse vertices --
+        p = hit.point
+        offs = DEFAULT_EPS_OFFSET + EPS_OFFSET_SCALE * jnp.sqrt(
+            jnp.sum(p * p, axis=-1, keepdims=True)
+        )
+        shadow_o = p + offs * nrm
+
+        if nee:
+            # pick the k-th emissive sphere (uniform among emitters)
+            k = jnp.clip(
+                jnp.floor(u_pick * n_em).astype(jnp.int32), 0, jnp.maximum(n_em - 1, 0)
+            )
+            e_idx = jnp.searchsorted(em_cum, k + 1, side="left")
+            e_idx = jnp.clip(e_idx, 0, scene.num_spheres - 1)
+            c_e = sph.center[e_idx]  # (N,3)
+            r_e = sph.radius[e_idx]
+            m_e = sph.material[e_idx]
+            le_e = (
+                mats.emission_color[m_e]
+                * mats.emission_strength[m_e][:, None]
+            )
+
+            dc = c_e - shadow_o
+            d2 = jnp.sum(dc * dc, axis=-1)
+            dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+            wz = dc / dist[:, None]
+            sin2max = jnp.clip(r_e * r_e / jnp.maximum(d2, 1e-12), 0.0, 1.0)
+            cosmax = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+            outside = d2 > r_e * r_e
+            # sample cos(theta) uniform in [cosmax, 1] (cone solid angle)
+            cth = 1.0 - v1 * (1.0 - cosmax)
+            sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+            phi = _TWO_PI * v2
+            t_ax, b_ax = _onb(wz)
+            omega = (
+                (sth * jnp.cos(phi))[:, None] * t_ax
+                + (sth * jnp.sin(phi))[:, None] * b_ax
+                + cth[:, None] * wz
+            )
+            pdf_omega = 1.0 / jnp.maximum(_TWO_PI * (1.0 - cosmax), 1e-8)
+            cos_surf = jnp.sum(nrm * omega, axis=-1)
+
+            # expected hit distance on the sampled emitter (analytic)
+            t_e = ray_sphere_t(
+                shadow_o, omega, sph.center, sph.radius, sph.active
+            )[jnp.arange(n), e_idx]
+            # occlusion: the closest scene hit must be the emitter itself
+            s_hit = trace(shadow_o, omega, scene)
+            visible = (
+                s_hit.mask
+                & (s_hit.t >= t_e * (1.0 - 1e-3) - 1e-4)
+                & jnp.isfinite(t_e)
+            )
+            valid = (
+                alive
+                & choose_diff
+                & (n_em > 0)
+                & outside
+                & (cos_surf > 0.0)
+                & visible
+            )
+            contrib = (
+                thr
+                * (albedo / _PI)
+                * le_e
+                * (cos_surf / pdf_omega * n_em.astype(jnp.float32))[:, None]
+            )
+            total = total + jnp.where(valid[:, None], contrib, 0.0)
+
+        # continuing throughput: cos/pdf cancels for the diffuse lobe, the
+        # specular/refract lobes tint by albedo like the reference tier.
+        thr = jnp.where(live, thr * albedo, thr)
+
+        side = jnp.where(
+            jnp.sum(new_d * nrm, axis=-1, keepdims=True) >= 0.0, 1.0, -1.0
+        )
+        new_o = p + offs * side * nrm
+        o = jnp.where(live, new_o, o)
+        d = jnp.where(live, new_d, d)
+        prev_diff = jnp.where(alive, choose_diff, prev_diff) if nee else prev_diff
+        return (o, d, thr, total, alive, prev_diff, st), None
+
+    total = jnp.zeros_like(origins)
+    thr = jnp.ones_like(origins)
+    alive = jnp.ones((n,), dtype=bool)
+    prev_diff = jnp.zeros((n,), dtype=bool)
+    carry = (origins, directions, thr, total, alive, prev_diff, state)
+    carry, _ = jax.lax.scan(step, carry, None, length=max_bounces + 1)
+    o, d, thr, total, alive, prev_diff, st = carry
+    total = total + jnp.where(alive[:, None], thr * sky, 0.0)
+    return total, st
+
+
+def render_physical(
+    scene: Scene,
+    camera: Camera,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounces: int,
+    seed,
+    nee: bool = True,
+    jitter: bool = True,
+    remat: bool = False,
+    sample_offset=0,
+):
+    """Physical-mode radiance image (H, W, 3); anti-aliasing jitter on by
+    default (unlike the reference tier, which shoots identical primary
+    rays for parity)."""
+    pix = pixel_indices(height, width)
+    rays = primary_rays(camera, height, width)
+
+    def one_sample(sample_idx):
+        st = _rng.seed_state(pix, sample_idx, seed)
+        if jitter:
+            o, d, st = primary_rays(camera, height, width, st)
+        else:
+            o, d = rays
+        radiance, _ = trace_paths_physical(
+            scene, o, d, st, max_bounces, nee=nee
+        )
+        return radiance
+
+    if remat:
+        one_sample = jax.checkpoint(one_sample)
+
+    def body(accum, sample_idx):
+        return accum + one_sample(sample_idx), None
+
+    init = jnp.zeros((height * width, 3), jnp.float32)
+    sample_ids = jnp.arange(spp, dtype=jnp.int32) + jnp.int32(sample_offset)
+    accum, _ = jax.lax.scan(body, init, sample_ids)
+    return (accum / spp).reshape(height, width, 3)

@@ -65,6 +65,8 @@ class Hit:
     normal: jnp.ndarray  # (N, 3) unit, opposing the ray for triangles
     material: jnp.ndarray  # (N,) int32
     mask: jnp.ndarray  # (N,) bool — True where the ray hit something
+    is_sphere: jnp.ndarray  # (N,) bool — winning object kind
+    obj_idx: jnp.ndarray  # (N,) int32 — index within its kind's table
 
 
 def _dot(a, b):
@@ -172,4 +174,7 @@ def trace(o, d, scene: Scene) -> Hit:
     material = jnp.where(
         is_sphere, scene.spheres.material[sidx], scene.triangles.material[tidx]
     )
-    return Hit(t=t, point=point, normal=normal, material=material, mask=mask)
+    return Hit(
+        t=t, point=point, normal=normal, material=material, mask=mask,
+        is_sphere=is_sphere, obj_idx=jnp.where(is_sphere, sidx, tidx),
+    )
