@@ -32,6 +32,14 @@ def main():
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
 
+    # Persistent compilation cache: the TPU tunnel's remote compiles take
+    # minutes; cache them across bench invocations.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -83,8 +91,11 @@ def main():
     from path_tracer_c_tpu.ops.pallas_kernels import render_pallas_vjp
 
     SPP_B = max(SPP // 4, 1)
+    # target from the already-compiled forward engine (new seed)
     target = jax.block_until_ready(
-        render_radiance(scene, cam, H, W, 1, BOUNCES, jnp.uint32(9))
+        render_pallas(scene, cam, H, W, SPP, BOUNCES, jnp.uint32(424242))
+        if on_tpu
+        else render_radiance(scene, cam, H, W, 1, BOUNCES, jnp.uint32(9))
     )
 
     fwd_bwd_engine = render_pallas_vjp if on_tpu else (

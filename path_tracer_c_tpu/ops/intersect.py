@@ -38,13 +38,17 @@ from dataclasses import dataclass
 import dataclasses
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..scene.scene import Scene
 
 __all__ = ["Hit", "ray_sphere_t", "ray_triangle_t", "trace"]
 
-INF = jnp.float32(jnp.inf)
+# numpy scalar, not jnp: a module-level jnp constant would initialize the
+# XLA backend at import time, which breaks jax.distributed.initialize
+# (must run before any backend use).
+INF = np.float32(np.inf)
 _TRI_EPS = 1e-6  # rtx_frag.glsl:123
 
 

@@ -63,18 +63,32 @@ def local_device_count() -> int:
 def health_check(mesh=None) -> dict:
     """Every-device liveness probe before committing to a long render.
 
-    Runs a tiny psum across all devices (of the mesh, or globally) and
-    checks the result — a hung or missing chip fails here in seconds
-    instead of minutes into a render. Returns a small status dict for the
-    metrics log.
+    Two stages: (1) a host->device->host round trip on every *addressable*
+    device, (2) a global cross-device (and cross-process) reduction over
+    all devices of the mesh — a hung or missing chip/host fails here in
+    seconds instead of minutes into a render. Returns a status dict for
+    the metrics log.
     """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
     devices = list(mesh.devices.flat) if mesh is not None else jax.devices()
     n = len(devices)
-    xs = [jax.device_put(jnp.ones(()), d) for d in devices]
-    total = sum(float(np.asarray(x)) for x in xs)  # forces a sync per device
-    ok = total == float(n)
+    pidx = jax.process_index()
+    local = [d for d in devices if d.process_index == pidx]
+    xs = [jax.device_put(jnp.ones(()), d) for d in local]
+    local_ok = sum(float(np.asarray(x)) for x in xs) == float(len(local))
+
+    # global reduction across every device (collective over ICI/DCN)
+    mesh1d = Mesh(np.asarray(devices), ("d",))
+    sharding = NamedSharding(mesh1d, P("d"))
+    garr = jax.make_array_from_callback(
+        (n,), sharding, lambda idx: np.ones((n,), np.float32)[idx]
+    )
+    total = float(np.asarray(jax.jit(jnp.sum)(garr)))
+    ok = local_ok and total == float(n)
     status = {
         "devices": n,
+        "local_devices": len(local),
         "processes": jax.process_count(),
         "alive": ok,
         "platform": devices[0].platform if devices else "none",
