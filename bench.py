@@ -64,6 +64,11 @@ def main():
     cam = pt.Camera.reference()
     seed = jnp.uint32(1)
 
+    def log(msg):
+        print(f"[bench +{time.perf_counter() - T0:.0f}s] {msg}", file=sys.stderr)
+
+    T0 = time.perf_counter()
+
     def fwd(s):
         # distinct seed per call: identical invocations can be deduped by
         # the execution layer, which would fake a ~0 wall time.
@@ -74,7 +79,9 @@ def main():
     # been observed to return before the execution drains on tunneled
     # backends.
     force = jax.jit(lambda x: jnp.sum(x))
+    log("compiling forward kernel")
     float(force(fwd(jnp.uint32(100))))
+    log("forward compiled; timing")
     times = []
     for i in range(3):
         t0 = time.perf_counter()
@@ -119,7 +126,9 @@ def main():
         sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(g)
             if jnp.issubdtype(l.dtype, jnp.floating))
     )
+    log("compiling fwd+bwd")
     force_tree(grad_fn2(scene, jnp.uint32(100)))
+    log("fwd+bwd compiled; timing")
     times = []
     for i in range(2):
         t0 = time.perf_counter()

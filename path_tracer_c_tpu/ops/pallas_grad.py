@@ -487,7 +487,8 @@ def render_pallas_bwd(
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     par_i = jnp.stack(
         [jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
-         jnp.asarray(sample_offset, jnp.int32)]
+         jnp.asarray(sample_offset, jnp.int32),
+         jnp.asarray(0, jnp.int32)]
     )[None, :]
     g_planes = jnp.transpose(g.astype(jnp.float32), (2, 0, 1))  # (3, H, W)
 

@@ -137,10 +137,13 @@ def _kernel(
     height = par_f[0, 3]
     seed = par_i[0, 0].astype(jnp.uint32)
     sample_offset = par_i[0, 1]
+    row_start = par_i[0, 2]  # global row of this kernel's first row (sharding)
 
     # Pixel coordinates of this tile (global, so RNG streams are
     # sharding-invariant — rtx_frag.glsl:277's pixel_idx analog).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+    rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th + row_start
+    )
     cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
     pix = (rows * width.astype(jnp.int32) + cols).astype(jnp.uint32)
 
@@ -504,18 +507,23 @@ def render_pallas(
     sample_offset=0,
     tile: tuple[int, int] = DEFAULT_TILE,
     interpret: bool = False,
+    row_start=0,
+    rows: int | None = None,
 ):
-    """Radiance image (H, W, 3) f32 via the Pallas megakernel.
+    """Radiance image (rows, W, 3) f32 via the Pallas megakernel.
 
-    H/W must be divisible by the tile (use the wrapper in models for
-    arbitrary sizes). ``interpret=True`` runs the kernel in interpreter
-    mode for CPU-side validation.
+    ``height`` is the full image height (NDC mapping); ``row_start``/
+    ``rows`` select a row block — the unit of image sharding, with
+    global-index RNG like the core path. Block dims must divide the tile.
+    ``interpret=True`` runs the kernel in interpreter mode for CPU-side
+    validation.
     """
+    rows = height if rows is None else rows
     th, tw = tile
-    th = min(th, height)
+    th = min(th, rows)
     tw = min(tw, width)
-    if height % th or width % tw:
-        raise ValueError(f"{height}x{width} not divisible by tile {th}x{tw}")
+    if rows % th or width % tw:
+        raise ValueError(f"{rows}x{width} not divisible by tile {th}x{tw}")
     # Interpreter mode off-TPU: the Mosaic lowering is TPU-only, and the
     # interpreter reproduces the same jnp ops bit-for-bit on CPU (the test
     # backend).
@@ -534,7 +542,8 @@ def render_pallas(
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     par_i = jnp.stack(
         [jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
-         jnp.asarray(sample_offset, jnp.int32)]
+         jnp.asarray(sample_offset, jnp.int32),
+         jnp.asarray(row_start, jnp.int32)]
     )[None, :]
 
     operands = _scene_operands(scene) + [
@@ -543,12 +552,12 @@ def render_pallas(
     ]
     out = pl.pallas_call(
         kern,
-        grid=(height // th, width // tw),
+        grid=(rows // th, width // tw),
         in_specs=[smem() for _ in operands],
         out_specs=pl.BlockSpec(
             (3, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((3, height, width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, rows, width), jnp.float32),
         interpret=interpret,
     )(*operands)
     return jnp.transpose(out, (1, 2, 0))
