@@ -42,12 +42,18 @@ def _scenes():
 
 
 def get_scene(name: str):
+    """Resolve a scene by built-in name or JSON file path (scene/io.py)."""
     scenes = _scenes()
-    if name not in scenes:
-        raise SystemExit(
-            f"unknown scene '{name}'; available: {', '.join(sorted(scenes))}"
-        )
-    return scenes[name]()
+    if name in scenes:
+        return scenes[name]()
+    if name.endswith(".json") and Path(name).exists():
+        from ..scene.io import load_scene
+
+        return load_scene(name)
+    raise SystemExit(
+        f"unknown scene '{name}'; available: {', '.join(sorted(scenes))} "
+        "or a scene .json path"
+    )
 
 
 def _render_once(scene, camera, cfg, seed, sample_offset=0):

@@ -494,7 +494,9 @@ def _camera_params(camera: Camera, scene: Scene, height: int, width: int):
 
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "spp", "max_bounces", "tile", "interpret"),
+    static_argnames=(
+        "height", "width", "spp", "max_bounces", "tile", "interpret", "rows"
+    ),
 )
 def render_pallas(
     scene: Scene,

@@ -60,6 +60,7 @@ def render_sharded(
     mesh: Mesh,
     jitter: bool = False,
     remat: bool = False,
+    engine: str = "core",
 ):
     """Full-image radiance rendered across the mesh: (H, W, 3), sharded
     over rows on the ``tile`` axis.
@@ -69,8 +70,17 @@ def render_sharded(
     sample mean at rtx_frag.glsl:292). The returned array keeps its row
     sharding — materialize with ``np.asarray`` (an all-gather to host,
     the glReadPixels analog) only at the output boundary.
+
+    ``engine="pallas"`` runs the megakernel per shard (the fast multi-chip
+    path; requires the row block divisible by the kernel tile and no
+    jitter); RNG keys on global indices either way, so both engines and
+    any mesh shape agree.
     """
     rows_local, spp_local = _check_divisible(height, spp, mesh)
+    if engine == "pallas":
+        if jitter:
+            raise ValueError("pallas engine has no jitter path yet")
+        from ..ops.pallas_kernels import render_pallas
 
     # check_vma off: the bounce-scan carry starts replicated (camera rays)
     # and becomes varying over (tile, spp) after one step, which the strict
@@ -86,20 +96,34 @@ def render_sharded(
     def _render(scene, seed):
         ti = jax.lax.axis_index(TILE_AXIS)
         si = jax.lax.axis_index(SPP_AXIS)
-        img = render_tile(
-            scene,
-            camera,
-            height,
-            width,
-            spp_local,
-            max_bounces,
-            seed,
-            jitter=jitter,
-            remat=remat,
-            sample_offset=si * spp_local,
-            row_start=ti * rows_local,
-            rows=rows_local,
-        )
+        if engine == "pallas":
+            img = render_pallas(
+                scene,
+                camera,
+                height,
+                width,
+                spp_local,
+                max_bounces,
+                seed,
+                sample_offset=si * spp_local,
+                row_start=ti * rows_local,
+                rows=rows_local,
+            )
+        else:
+            img = render_tile(
+                scene,
+                camera,
+                height,
+                width,
+                spp_local,
+                max_bounces,
+                seed,
+                jitter=jitter,
+                remat=remat,
+                sample_offset=si * spp_local,
+                row_start=ti * rows_local,
+                rows=rows_local,
+            )
         return jax.lax.pmean(img, SPP_AXIS)
 
     return _render(scene, jnp.asarray(seed, jnp.uint32))

@@ -154,3 +154,21 @@ def test_mesh_validation():
         parallel.make_mesh(tile=3, spp=2)  # 6 != 8
     with pytest.raises(ValueError):
         parallel.make_mesh(spp=3)  # 8 % 3
+
+
+def test_sharded_pallas_engine_matches_core(scene):
+    """Megakernel per shard under shard_map == sharded core path."""
+    h, w, spp, bounces = 16, 128, 4, 2
+    mesh = parallel.make_mesh(tile=2, spp=4)
+    core = np.asarray(
+        parallel.render_sharded(
+            scene, CAM, h, w, spp, bounces, jnp.uint32(3), mesh
+        )
+    )
+    fast = np.asarray(
+        parallel.render_sharded(
+            scene, CAM, h, w, spp, bounces, jnp.uint32(3), mesh,
+            engine="pallas",
+        )
+    )
+    np.testing.assert_allclose(fast, core, rtol=1e-5, atol=1e-5)

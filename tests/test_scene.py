@@ -73,3 +73,32 @@ def test_scene_is_pytree():
     assert all(isinstance(l, jnp.ndarray) for l in leaves)
     s2 = jax.tree_util.tree_map(lambda x: x, s)
     assert type(s2) is type(s)
+
+
+def test_scene_json_roundtrip(tmp_path):
+    from path_tracer_c_tpu.scene import io as scene_io
+
+    scene = demo.demo_scene()
+    p = tmp_path / "demo.json"
+    scene_io.save_scene(p, scene)
+    loaded = scene_io.load_scene(p)
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(scene), jax.tree_util.tree_leaves(loaded)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scene_json_renders_identically(tmp_path):
+    from path_tracer_c_tpu.scene import io as scene_io
+    import path_tracer_c_tpu as pt
+
+    scene = demo.diffuse_sphere_scene()
+    p = tmp_path / "s.json"
+    scene_io.save_scene(p, scene)
+    loaded = scene_io.load_scene(p)
+    cam = pt.Camera.reference()
+    a = pt.render_radiance(scene, cam, 8, 8, 2, 2, jnp.uint32(1))
+    b = pt.render_radiance(loaded, cam, 8, 8, 2, 2, jnp.uint32(1))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
