@@ -70,6 +70,7 @@ def _render_once(scene, camera, cfg, seed, sample_offset=0):
         return parallel.render_sharded(
             scene, camera, cfg.height, cfg.width, cfg.spp, cfg.max_bounces,
             jnp.uint32(seed), mesh, jitter=cfg.jitter,
+            engine="pallas" if cfg.engine == "pallas" and not cfg.jitter else "core",
         )
     if cfg.engine == "physical":
         from ..models.physical import render_physical

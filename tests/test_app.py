@@ -66,3 +66,39 @@ def test_fit_runs(tmp_path, capsys):
 def test_unknown_scene_errors():
     with pytest.raises(SystemExit):
         app.main(["render", "--scene", "nope", "--width", "8", "--height", "8"])
+
+
+def test_render_with_device_mesh(tmp_path):
+    """CLI render across the 8-fake-device mesh (config-5 style)."""
+    from path_tracer_c_tpu.utils import config
+
+    out = tmp_path / "mesh.bmp"
+    cfg = config.RenderConfig(
+        width=16, height=16, spp=8, max_bounces=2, scene="diffuse",
+        engine="core", output=str(out), mesh=config.MeshConfig(tile=4, spp=2),
+    )
+    cfgp = tmp_path / "cfg.json"
+    config.save(cfg, cfgp)
+    app.main(["render", "--config", str(cfgp)])
+    data = out.read_bytes()
+    assert data[:2] == b"BM"
+
+    # must equal the single-device render exactly (global-index RNG)
+    import jax.numpy as jnp
+    import numpy as np
+    import path_tracer_c_tpu as pt
+    from path_tracer_c_tpu.scene import demo
+    from path_tracer_c_tpu.models.integrator import render_image_u8
+
+    single = render_image_u8(
+        pt.render_radiance(
+            demo.diffuse_sphere_scene(), pt.Camera.reference(), 16, 16, 8, 2,
+            jnp.uint32(0),
+        )
+    )
+    import struct
+
+    stride = (3 * 16 + 3) // 4 * 4
+    px = np.frombuffer(data[54:], np.uint8).reshape(16, stride)[:, : 3 * 16]
+    px = px.reshape(16, 16, 3)[::-1, :, ::-1]
+    np.testing.assert_array_equal(px, np.asarray(single))
