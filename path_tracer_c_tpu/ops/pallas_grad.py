@@ -47,7 +47,13 @@ from ..scene.scene import Scene
 from ..ops.camera import Camera
 from . import pallas_kernels as fk
 
-__all__ = ["render_pallas_bwd"]
+__all__ = ["render_pallas_bwd", "BWD_TILE"]
+
+# The backward kernel carries far more live state than the forward (the
+# replay's per-bounce VMEM stores + accumulator planes), and Mosaic's
+# compile time blows up past (16,128); (8,128) compiles fast and already
+# runs the 1024^2/16spp gradient in ~0.5 s.
+BWD_TILE = (8, 128)
 
 
 def _bwd_kernel(
@@ -320,12 +326,30 @@ def _bwd_kernel(
             return (ox, oy, oz, dx, dy, dz, tr, tg, tb,
                     jnp.where(alive, 1.0, 0.0), rng)
 
+        # Pre-zero the per-bounce masks so bounces skipped by the early
+        # exit read as "no event" in the suffix sweep.
+        def zero_masks(b, _):
+            for k in range(4):
+                mk_store[b, k] = zero
+            return 0
+
+        jax.lax.fori_loop(0, max_bounces + 1, zero_masks, 0)
+
         fc0 = (
             jnp.full((th, tw), cox), jnp.full((th, tw), coy),
             jnp.full((th, tw), coz), pdx, pdy, pdz,
             ones, ones, ones, ones, st,
         )
-        fc = jax.lax.fori_loop(0, max_bounces + 1, fwd_body, fc0)
+
+        def w_cond(c):
+            b, fc = c
+            return (b < max_bounces + 1) & (jnp.max(fc[9]) > 0.0)
+
+        def w_body(c):
+            b, fc = c
+            return b + 1, fwd_body(b, fc)
+
+        _, fc = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), fc0))
         (_, _, _, _, _, _, tr_e, tg_e, tb_e, alive_e, _) = fc
 
         # exhausted lanes: total += P_end * sky  ->  d_sky += g * P_end
@@ -457,7 +481,7 @@ def render_pallas_bwd(
     max_bounces: int,
     seed,
     sample_offset=0,
-    tile=fk.DEFAULT_TILE,
+    tile=BWD_TILE,
     interpret: bool = False,
 ):
     """VJP of :func:`pallas_kernels.render_pallas` w.r.t. the scene.

@@ -40,12 +40,12 @@ from ..models.integrator import DEFAULT_EPS_OFFSET, EPS_OFFSET_SCALE
 
 __all__ = ["render_pallas", "render_pallas_vjp", "DEFAULT_TILE"]
 
-# One VPU vreg is (8, 128) f32: an (8, 128) tile makes every loop-carried
-# state plane exactly one vreg, so the bounce/sample loops stay entirely in
-# vector registers. Bigger tiles multiply the carried-vreg count (a
-# (128,128) tile carries 14 planes x 16 vregs = 224 vregs) which spills to
-# VMEM and blows up Mosaic compile time.
-DEFAULT_TILE = (8, 128)
+# Tile sweep on v5e (1024^2/64spp/8bounce glossy): (8,128)=1.02,
+# (16,128)=1.72, (32,128)=2.14, (64,128)=1.88, (128,128)=1.64 Grays/s.
+# Small tiles pay per-grid-program overhead; huge tiles carry too many
+# vregs through the bounce loop (14 state planes x tile/(8,128) vregs)
+# and coarsen the all-dead early exit. (32,128) is the sweet spot.
+DEFAULT_TILE = (32, 128)
 # Plain numpy scalars: module-level jnp values would be captured as
 # constants by pallas_call, which rejects them.
 _INF = np.float32(np.inf)
