@@ -24,9 +24,9 @@ How the estimator stays differentiable (SURVEY.md SS7 hard-part (b)):
   piecewise-constant in geometry and the true interior gradient is zero.
   AD and FD agree exactly there (both zero). Non-trivial geometry
   gradients require shading terms that touch geometry continuously —
-  next-event estimation with cosine/distance factors is the planned
-  extension; the plumbing through hit point/normal is already
-  differentiable for it.
+  the physical tier (models/physical.py) provides them: its next-event
+  estimation carries cosine and solid-angle factors, making sphere-light
+  center/radius gradients nonzero and FD-matchable (tests/test_physical).
 
 Fixed seeds make renders deterministic, so finite differences see the same
 sample paths and the comparison is quadrature-tight, not Monte-Carlo-loose.
@@ -59,11 +59,28 @@ def mse_loss(img, target):
 
 
 def render_loss(
-    scene: Scene, target, camera, height, width, spp, max_bounces, seed
+    scene: Scene, target, camera, height, width, spp, max_bounces, seed,
+    engine: str = "auto",
 ):
-    img = render_radiance(
-        scene, camera, height, width, spp, max_bounces, seed, remat=True
+    """Differentiable pixel loss. ``engine="auto"`` uses the Pallas
+    forward + hand-written backward on TPU (ops/pallas_grad.py) when the
+    shapes allow, the XLA core path elsewhere."""
+    use_pallas = engine == "pallas" or (
+        engine == "auto"
+        and jax.default_backend() == "tpu"
+        and height % 8 == 0
+        and width % 128 == 0
     )
+    if use_pallas:
+        from ..ops.pallas_kernels import render_pallas_vjp
+
+        img = render_pallas_vjp(
+            scene, camera, height, width, spp, max_bounces, seed
+        )
+    else:
+        img = render_radiance(
+            scene, camera, height, width, spp, max_bounces, seed, remat=True
+        )
     return mse_loss(img, target)
 
 

@@ -24,7 +24,7 @@ normal (233-234), per-material IOR with entering/exit flip (249-259), TIR
 rays dropped (260-262), 1e-4 origin offsets (239, 263), sky on miss *and*
 on bounce exhaustion (212-221), MAX_BOUNCES+1 total trace rounds.
 
-RNG discipline: exactly 7 PCG draws per ray per bounce (3x2 for the unit
+RNG discipline: exactly 3 PCG draws per ray per bounce (2 for the unit
 sphere, 1 for branch selection), drawn unconditionally so every lane stays
 in lockstep — this fixed schedule is what lets the Pallas kernel and the
 scalar test reference reproduce the stream bit-for-bit.
@@ -112,7 +112,7 @@ def trace_paths(
         total = total + jnp.where(live, thr * emission, 0.0)
         thr = jnp.where(live, thr * albedo, thr)
 
-        # Fixed draw schedule: unit sphere (6 draws gpu / 3 cpu-biased)
+        # Fixed draw schedule: unit sphere (2 draws gpu / 3 cpu-biased)
         # + branch uniform (1), drawn unconditionally for lane lockstep.
         if cpu_tier:
             st, sph = _rng.unit_sphere_biased(st)

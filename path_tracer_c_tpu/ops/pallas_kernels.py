@@ -86,11 +86,13 @@ def _normal(state):
 
 
 def _unit_sphere(state):
-    state, x = _normal(state)
-    state, y = _normal(state)
-    state, z = _normal(state)
-    norm = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
-    return state, (x / norm, y / norm, z / norm)
+    # cylindrical (z, phi) sampler — bit-matches ops/rng.unit_sphere
+    state, u1 = _uniform(state)
+    state, u2 = _uniform(state)
+    z = 1.0 - 2.0 * u1
+    phi = _TWO_PI * u2
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return state, (r * jnp.cos(phi), r * jnp.sin(phi), z)
 
 
 def _kernel(

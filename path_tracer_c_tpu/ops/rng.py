@@ -33,6 +33,7 @@ __all__ = [
     "uniform",
     "normal",
     "unit_sphere",
+    "unit_sphere_gaussian",
     "unit_sphere_biased",
     "seed_state",
 ]
@@ -92,13 +93,28 @@ def normal(state):
 
 
 def unit_sphere(state):
-    """Unbiased uniform direction on S^2 from three Gaussians.
+    """Unbiased uniform direction on S^2, cylindrical (z, phi) method.
 
-    Matches ``rand_unit_sphere`` (rtx_frag.glsl:85-90) — the *GPU* sampler,
-    not the biased normalized-cube CPU variant (src/renderer.c:11-19), per
-    SURVEY.md SS7's semantic choice. Returns ``(new_state, dir)`` where
-    ``dir`` has one extra trailing axis of size 3.
+    Archimedes: z uniform on [-1, 1] and phi uniform give an exactly
+    uniform sphere direction — the same distribution as the reference's
+    three-Gaussian sampler (rand_unit_sphere, rtx_frag.glsl:85-90, kept
+    as :func:`unit_sphere_gaussian`) at a third of the transcendental
+    cost (2 draws + sqrt + sin/cos vs 6 draws + 3 log + 3 cos + sqrt).
+    This is the production sampler across core, Pallas and the oracle.
+    Returns ``(new_state, dir)`` with a trailing axis of size 3.
     """
+    state, u1 = uniform(state)
+    state, u2 = uniform(state)
+    z = 1.0 - 2.0 * u1
+    phi = jnp.float32(_TWO_PI) * u2
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return state, jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def unit_sphere_gaussian(state):
+    """The reference GPU sampler: three Gaussians normalized
+    (rand_unit_sphere, rtx_frag.glsl:85-90). Distribution-identical to
+    :func:`unit_sphere`; kept for documentation and statistical tests."""
     state, x = normal(state)
     state, y = normal(state)
     state, z = normal(state)
@@ -113,8 +129,8 @@ def unit_sphere_biased(state):
     Normalizes a uniform sample of the cube [-1, 1]^3 — directions toward
     cube corners are over-represented. Kept verbatim as the "cpu" capability
     tier's sampler (SURVEY.md SS3.3 documents the two tiers); the default
-    tier uses the unbiased Gaussian :func:`unit_sphere`. Three uniforms are
-    drawn (the reference draws ``random()`` three times).
+    tier uses the unbiased :func:`unit_sphere`. Three uniforms are drawn
+    (the reference draws ``random()`` three times).
     """
     state, x = uniform(state)
     state, y = uniform(state)

@@ -52,12 +52,13 @@ def normal(state: int):
 
 
 def unit_sphere(state: int):
-    state, x = normal(state)
-    state, y = normal(state)
-    state, z = normal(state)
-    v = np.array([x, y, z], dtype=np.float64)
-    n = math.sqrt(max(float(v @ v), 1e-20))
-    return state, v / n
+    """Cylindrical (z, phi) uniform sphere sampler — mirrors ops/rng.py."""
+    state, u1 = uniform(state)
+    state, u2 = uniform(state)
+    z = 1.0 - 2.0 * u1
+    phi = float(np.float32(2.0 * math.pi) * np.float32(u2))
+    r = math.sqrt(max(1.0 - z * z, 0.0))
+    return state, np.array([r * math.cos(phi), r * math.sin(phi), z])
 
 
 def unit_sphere_biased(state: int):

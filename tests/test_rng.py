@@ -71,10 +71,21 @@ def test_seed_state_decorrelates_samples():
 
 
 def test_draw_order_stability():
-    """7 draws per bounce: unit_sphere advances state by 6, uniform by 1."""
+    """3 draws per bounce: unit_sphere advances state by 2, uniform by 1."""
     s = jnp.asarray(np.uint32(1234))
     s1, _ = rng.unit_sphere(s)
     expect = s
-    for _ in range(6):
+    for _ in range(2):
         expect, _ = rng.pcg_next(expect)
     assert int(s1) == int(expect)
+
+
+def test_gaussian_sampler_unit_and_isotropic():
+    """The reference-matching Gaussian sampler stays available."""
+    state = rng.seed_state(
+        jnp.arange(1 << 12, dtype=jnp.int32), jnp.int32(0), jnp.uint32(2)
+    )
+    state, v = rng.unit_sphere_gaussian(state)
+    v = np.asarray(v)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-5)
+    assert np.all(np.abs(v.mean(axis=0)) < 0.06)
