@@ -120,91 +120,11 @@ def _bwd_kernel(
         return 0
     jax.lax.fori_loop(0, n_mat, zero_acc, 0)
 
-    def closest_hit(ox, oy, oz, dx, dy, dz):
-        best_t = jnp.full((th, tw), fk._INF)
-        nx = zero
-        ny = zero
-        nz = zero
-        mat = jnp.zeros((th, tw), jnp.int32)
-        dd = dx * dx + dy * dy + dz * dz
-        inv2a = 0.5 / dd
-
-        def sph_body(i, c):
-            bt, nx, ny, nz, mat = c
-            cx, cy, cz = sph_c[i, 0], sph_c[i, 1], sph_c[i, 2]
-            r = sph_r[i, 0]
-            act = sph_a[i, 0]
-            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-            b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
-            cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-            det = b * b - 4.0 * dd * cq
-            sq = jnp.sqrt(jnp.maximum(det, 0.0))
-            t1 = (-b - sq) * inv2a
-            t2 = (-b + sq) * inv2a
-            t = jnp.where(t1 >= 0.0, t1, jnp.where(t2 >= 0.0, t2, fk._INF))
-            t = jnp.where((det >= 0.0) & (act > 0.0), t, fk._INF)
-            upd = t < bt
-            ts = jnp.where(upd, t, 0.0)
-            hx = ox + ts * dx - cx
-            hy = oy + ts * dy - cy
-            hz = oz + ts * dz - cz
-            hn = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
-            return (
-                jnp.where(upd, t, bt),
-                jnp.where(upd, hx * hn, nx),
-                jnp.where(upd, hy * hn, ny),
-                jnp.where(upd, hz * hn, nz),
-                jnp.where(upd, sph_m[i, 0], mat),
-            )
-
-        best_t, nx, ny, nz, mat = jax.lax.fori_loop(
-            0, n_sph, sph_body, (best_t, nx, ny, nz, mat)
-        )
-
-        def tri_body(i, c):
-            bt, nx, ny, nz, mat = c
-            v0x, v0y, v0z = tri_v0[i, 0], tri_v0[i, 1], tri_v0[i, 2]
-            e1x = tri_v1[i, 0] - v0x
-            e1y = tri_v1[i, 1] - v0y
-            e1z = tri_v1[i, 2] - v0z
-            e2x = tri_v2[i, 0] - v0x
-            e2y = tri_v2[i, 1] - v0y
-            e2z = tri_v2[i, 2] - v0z
-            act = tri_a[i, 0]
-            rcx = dy * e2z - dz * e2y
-            rcy = dz * e2x - dx * e2z
-            rcz = dx * e2y - dy * e2x
-            det = e1x * rcx + e1y * rcy + e1z * rcz
-            nonpar = jnp.abs(det) >= fk._TRI_EPS
-            inv = 1.0 / jnp.where(nonpar, det, 1.0)
-            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-            u = inv * (sx * rcx + sy * rcy + sz * rcz)
-            scx = sy * e1z - sz * e1y
-            scy = sz * e1x - sx * e1z
-            scz = sx * e1y - sy * e1x
-            v = inv * (dx * scx + dy * scy + dz * scz)
-            t = inv * (e2x * scx + e2y * scy + e2z * scz)
-            ok = (
-                nonpar
-                & (u >= fk._TRI_EPS) & (u <= 1.0)
-                & (v >= fk._TRI_EPS) & (u + v <= 1.0)
-                & (t >= fk._TRI_EPS) & (act > 0.0)
-            )
-            t = jnp.where(ok, t, fk._INF)
-            upd = t < bt
-            fnx, fny, fnz = tri_n[i, 0], tri_n[i, 1], tri_n[i, 2]
-            s = jnp.where(fnx * dx + fny * dy + fnz * dz < 0.0, 1.0, -1.0)
-            return (
-                jnp.where(upd, t, bt),
-                jnp.where(upd, s * fnx, nx),
-                jnp.where(upd, s * fny, ny),
-                jnp.where(upd, s * fnz, nz),
-                jnp.where(upd, tri_m[i, 0], mat),
-            )
-
-        return jax.lax.fori_loop(
-            0, n_tri, tri_body, (best_t, nx, ny, nz, mat)
-        )
+    closest_hit, _ = fk.make_geometry(
+        sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
+        tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
+        (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat,
+    )
 
     hit0 = closest_hit(
         jnp.full((th, tw), cox), jnp.full((th, tw), coy),

@@ -38,7 +38,7 @@ from ..scene.scene import Scene
 from ..ops.camera import Camera
 from ..models.integrator import DEFAULT_EPS_OFFSET, EPS_OFFSET_SCALE
 
-__all__ = ["render_pallas", "render_pallas_vjp", "DEFAULT_TILE"]
+__all__ = ["render_pallas", "render_pallas_vjp", "make_geometry", "DEFAULT_TILE"]
 
 # Tile sweep on v5e (1024^2/64spp/8bounce glossy): (8,128)=1.02,
 # (16,128)=1.72, (32,128)=2.14, (64,128)=1.88, (128,128)=1.64 Grays/s.
@@ -95,71 +95,20 @@ def _unit_sphere(state):
     return state, (r * jnp.cos(phi), r * jnp.sin(phi), z)
 
 
-def _kernel(
-    # scalar-prefetch-free SMEM scene inputs (2D each)
-    sph_c,  # (S, 3)
-    sph_r,  # (S, 1)
-    sph_m,  # (S, 1) int32
-    sph_a,  # (S, 1) f32 0/1
-    tri_v0,  # (T, 3)
-    tri_v1,
-    tri_v2,
-    tri_n,  # (T, 3) unit face normals (host-precomputed)
-    tri_m,  # (T, 1) int32
-    tri_a,  # (T, 1)
-    m_alb,  # (M, 3)
-    m_eco,  # (M, 3)
-    m_est,  # (M, 1)
-    m_rgh,  # (M, 1)
-    m_trn,  # (M, 1)
-    m_ior,  # (M, 1)
-    par_f,  # (1, PF) f32: tan_fov2, aspect, W, H, sky rgb, cam origin/right/up/fwd
-    par_i,  # (1, 2) int32: seed, sample_offset
-    out_ref,  # (3, TH, TW) VMEM
-    *,
-    th: int,
-    tw: int,
-    n_sph: int,
-    n_tri: int,
-    n_mat: int,
-    spp: int,
-    max_bounces: int,
+def make_geometry(
+    sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m, tri_a,
+    m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, sky,
+    th, tw, n_sph, n_tri, n_mat,
 ):
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
+    """Build the per-tile (closest_hit, shade) routines over SMEM scene refs.
 
-    tan2 = par_f[0, 0]
-    aspect = par_f[0, 1]
-    width = par_f[0, 2]
-    sky_r, sky_g, sky_b = par_f[0, 4], par_f[0, 5], par_f[0, 6]
-    cox, coy, coz = par_f[0, 7], par_f[0, 8], par_f[0, 9]
-    crx, cry, crz = par_f[0, 10], par_f[0, 11], par_f[0, 12]
-    cux, cuy, cuz = par_f[0, 13], par_f[0, 14], par_f[0, 15]
-    cfx, cfy, cfz = par_f[0, 16], par_f[0, 17], par_f[0, 18]
-    height = par_f[0, 3]
-    seed = par_i[0, 0].astype(jnp.uint32)
-    sample_offset = par_i[0, 1]
-    row_start = par_i[0, 2]  # global row of this kernel's first row (sharding)
-
-    # Pixel coordinates of this tile (global, so RNG streams are
-    # sharding-invariant — rtx_frag.glsl:277's pixel_idx analog).
-    rows = (
-        jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th + row_start
-    )
-    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
-    pix = (rows * width.astype(jnp.int32) + cols).astype(jnp.uint32)
-
-    # Primary rays: pinhole camera (rtx_frag.glsl:280-284).
-    x = (cols.astype(jnp.float32) + 0.5) / width * 2.0 - 1.0
-    y = -((rows.astype(jnp.float32) + 0.5) / height * 2.0 - 1.0)
-    dcx = x * tan2
-    dcy = y * tan2 / aspect
-    pdx = dcx * crx + dcy * cux + cfx
-    pdy = dcx * cry + dcy * cuy + cfy
-    pdz = dcx * crz + dcy * cuz + cfz
-    pn = jax.lax.rsqrt(pdx * pdx + pdy * pdy + pdz * pdz)
-    pdx, pdy, pdz = pdx * pn, pdy * pn, pdz * pn
-
+    ``closest_hit`` is shared by the forward megakernel and the backward
+    replay kernel (pallas_grad.py) — they MUST be the same code: the
+    backward replays the forward's paths, and any numeric drift between
+    the two breaks the replay's discrete decisions. ``sky`` is a tuple of
+    three scalars.
+    """
+    sky_r, sky_g, sky_b = sky
     zero = jnp.zeros((th, tw), jnp.float32)
 
     def closest_hit(ox, oy, oz, dx, dy, dz):
@@ -383,6 +332,82 @@ def _kernel(
         dz = jnp.where(am, ndz, dz)
         alivef = jnp.where(alive, 1.0, 0.0).astype(jnp.float32)
         return (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab, alivef, rng)
+
+    return closest_hit, shade
+
+
+def _kernel(
+    # scalar-prefetch-free SMEM scene inputs (2D each)
+    sph_c,  # (S, 3)
+    sph_r,  # (S, 1)
+    sph_m,  # (S, 1) int32
+    sph_a,  # (S, 1) f32 0/1
+    tri_v0,  # (T, 3)
+    tri_v1,
+    tri_v2,
+    tri_n,  # (T, 3) unit face normals (host-precomputed)
+    tri_m,  # (T, 1) int32
+    tri_a,  # (T, 1)
+    m_alb,  # (M, 3)
+    m_eco,  # (M, 3)
+    m_est,  # (M, 1)
+    m_rgh,  # (M, 1)
+    m_trn,  # (M, 1)
+    m_ior,  # (M, 1)
+    par_f,  # (1, PF) f32: tan_fov2, aspect, W, H, sky rgb, cam origin/right/up/fwd
+    par_i,  # (1, 2) int32: seed, sample_offset
+    out_ref,  # (3, TH, TW) VMEM
+    *,
+    th: int,
+    tw: int,
+    n_sph: int,
+    n_tri: int,
+    n_mat: int,
+    spp: int,
+    max_bounces: int,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+
+    tan2 = par_f[0, 0]
+    aspect = par_f[0, 1]
+    width = par_f[0, 2]
+    sky_r, sky_g, sky_b = par_f[0, 4], par_f[0, 5], par_f[0, 6]
+    cox, coy, coz = par_f[0, 7], par_f[0, 8], par_f[0, 9]
+    crx, cry, crz = par_f[0, 10], par_f[0, 11], par_f[0, 12]
+    cux, cuy, cuz = par_f[0, 13], par_f[0, 14], par_f[0, 15]
+    cfx, cfy, cfz = par_f[0, 16], par_f[0, 17], par_f[0, 18]
+    height = par_f[0, 3]
+    seed = par_i[0, 0].astype(jnp.uint32)
+    sample_offset = par_i[0, 1]
+    row_start = par_i[0, 2]  # global row of this kernel's first row (sharding)
+
+    # Pixel coordinates of this tile (global, so RNG streams are
+    # sharding-invariant — rtx_frag.glsl:277's pixel_idx analog).
+    rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th + row_start
+    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
+    pix = (rows * width.astype(jnp.int32) + cols).astype(jnp.uint32)
+
+    # Primary rays: pinhole camera (rtx_frag.glsl:280-284).
+    x = (cols.astype(jnp.float32) + 0.5) / width * 2.0 - 1.0
+    y = -((rows.astype(jnp.float32) + 0.5) / height * 2.0 - 1.0)
+    dcx = x * tan2
+    dcy = y * tan2 / aspect
+    pdx = dcx * crx + dcy * cux + cfx
+    pdy = dcx * cry + dcy * cuy + cfy
+    pdz = dcx * crz + dcy * cuz + cfz
+    pn = jax.lax.rsqrt(pdx * pdx + pdy * pdy + pdz * pdz)
+    pdx, pdy, pdz = pdx * pn, pdy * pn, pdz * pn
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+
+    closest_hit, shade = make_geometry(
+        sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
+        tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
+        (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat,
+    )
 
     # The first trace round is RNG-independent (all samples share the same
     # camera ray — the reference shoots identical primary rays per pixel,
