@@ -228,7 +228,10 @@ int pt_bmp_write(const char* path, const uint8_t* rgb, uint32_t w, uint32_t h,
 
 // --- async frame writer (animation pipeline) ---
 // Copies the frame, encodes+writes on the pool, so the caller (the render
-// loop) can immediately launch the next device render.
+// loop) can immediately launch the next device render. The task encodes
+// serially: a pool task must never fan out to and Wait() on its own pool
+// (the waiting task counts as in-flight, which deadlocks Wait) —
+// parallelism here comes from overlapping frames, not rows.
 
 int pt_bmp_write_async(const char* path, const uint8_t* rgb, uint32_t w,
                        uint32_t h, int y_inverted) {
@@ -236,7 +239,13 @@ int pt_bmp_write_async(const char* path, const uint8_t* rgb, uint32_t w,
   std::vector<uint8_t> copy(rgb, rgb + static_cast<size_t>(w) * h * 3);
   Pool()->Submit([p = std::move(p), copy = std::move(copy), w, h,
                   y_inverted]() {
-    pt_bmp_write(p.c_str(), copy.data(), w, h, y_inverted);
+    const uint64_t size = pt_bmp_size(w, h);
+    std::vector<uint8_t> buf(size);
+    EncodeBMP(copy.data(), w, h, y_inverted, buf.data(), /*pool=*/nullptr);
+    FILE* f = fopen(p.c_str(), "wb");
+    if (f == nullptr) return;
+    fwrite(buf.data(), 1, size, f);
+    fclose(f);
   });
   return 0;
 }

@@ -158,3 +158,16 @@ def test_distributed_initialize_single_process_noop():
     from path_tracer_c_tpu.parallel import distributed
 
     distributed.initialize(num_processes=1)  # must not raise
+
+
+@needs_native
+def test_async_writer_large_frames(tmp_path):
+    """Regression: large frames used to deadlock — the async task fanned
+    row-encode chunks onto its own pool and Wait()ed on itself."""
+    img = np.random.default_rng(0).integers(0, 256, (128, 64, 3), dtype=np.uint8)
+    w = native.AsyncBitmapWriter()
+    for i in range(4):
+        w.submit(str(tmp_path / f"big{i}.bmp"), img)
+    w.drain()
+    for i in range(4):
+        assert (tmp_path / f"big{i}.bmp").read_bytes() == bitmap.bitmap_bytes(img)
