@@ -45,7 +45,6 @@ def main():
 
     import path_tracer_c_tpu as pt
     from path_tracer_c_tpu.scene import demo
-    from path_tracer_c_tpu.grad import diff
     from path_tracer_c_tpu.models.integrator import render_radiance
     from path_tracer_c_tpu.ops.pallas_kernels import render_pallas
     from path_tracer_c_tpu.utils.metrics import rays_per_render
