@@ -114,16 +114,20 @@ def make_geometry(
     def closest_hit(ox, oy, oz, dx, dy, dz):
         # -- closest hit: spheres then triangles (rtx_frag.glsl:158-192) --
         best_t = jnp.full((th, tw), _INF)
-        nx = zero
-        ny = zero
-        nz = zero
         mat = jnp.zeros((th, tw), jnp.int32)
+        # Winning sphere's center, carried instead of a normal: the normal
+        # is materialized ONCE after the argmin (select-then-normalize,
+        # same order as ops/intersect.py:168) instead of normalized per
+        # sphere — drops an rsqrt + hit-point chain from every iteration.
+        bcx = zero
+        bcy = zero
+        bcz = zero
 
         dd = dx * dx + dy * dy + dz * dz
         inv2a = 0.5 / dd
 
         def sph_body(i, c):
-            bt, nx, ny, nz, mat = c
+            bt, bcx, bcy, bcz, mat = c
             cx, cy, cz = sph_c[i, 0], sph_c[i, 1], sph_c[i, 2]
             r = sph_r[i, 0]
             act = sph_a[i, 0]
@@ -137,22 +141,25 @@ def make_geometry(
             t = jnp.where(t1 >= 0.0, t1, jnp.where(t2 >= 0.0, t2, _INF))
             t = jnp.where((det >= 0.0) & (act > 0.0), t, _INF)
             upd = t < bt
-            ts = jnp.where(upd, t, 0.0)  # keep NaNs out of unselected lanes
-            hx = ox + ts * dx - cx
-            hy = oy + ts * dy - cy
-            hz = oz + ts * dz - cz
-            hn = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
             return (
                 jnp.where(upd, t, bt),
-                jnp.where(upd, hx * hn, nx),
-                jnp.where(upd, hy * hn, ny),
-                jnp.where(upd, hz * hn, nz),
+                jnp.where(upd, cx, bcx),
+                jnp.where(upd, cy, bcy),
+                jnp.where(upd, cz, bcz),
                 jnp.where(upd, sph_m[i, 0], mat),
             )
 
-        best_t, nx, ny, nz, mat = jax.lax.fori_loop(
-            0, n_sph, sph_body, (best_t, nx, ny, nz, mat)
+        best_t, bcx, bcy, bcz, mat = jax.lax.fori_loop(
+            0, n_sph, sph_body, (best_t, bcx, bcy, bcz, mat)
         )
+        ts = jnp.where(best_t < _INF, best_t, 0.0)  # keep NaNs off miss lanes
+        hx = ox + ts * dx - bcx
+        hy = oy + ts * dy - bcy
+        hz = oz + ts * dz - bcz
+        hn = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
+        nx = hx * hn
+        ny = hy * hn
+        nz = hz * hn
 
         def tri_body(i, c):
             bt, nx, ny, nz, mat = c
@@ -228,47 +235,48 @@ def make_geometry(
         pz = oz + ts * dz
 
         # -- material fetch by index (uniform materials[] analog) --
+        # Emission is fetched premultiplied (color x strength, combined in
+        # SMEM scalars): the forward only ever uses the product.
         alb_r = zero
         alb_g = zero
         alb_b = zero
-        eco_r = zero
-        eco_g = zero
-        eco_b = zero
-        est = zero
+        em_r = zero
+        em_g = zero
+        em_b = zero
         rgh = zero
         trn = zero
         ior = jnp.ones((th, tw), jnp.float32)
 
         def mat_body(mi, c):
-            alr, alg, alb_, ecr, ecg, ecb, es, rg, tn, io = c
+            alr, alg, alb_, emr, emg, emb, rg, tn, io = c
             msk = mat == mi
+            es = m_est[mi, 0]
             return (
                 jnp.where(msk, m_alb[mi, 0], alr),
                 jnp.where(msk, m_alb[mi, 1], alg),
                 jnp.where(msk, m_alb[mi, 2], alb_),
-                jnp.where(msk, m_eco[mi, 0], ecr),
-                jnp.where(msk, m_eco[mi, 1], ecg),
-                jnp.where(msk, m_eco[mi, 2], ecb),
-                jnp.where(msk, m_est[mi, 0], es),
+                jnp.where(msk, m_eco[mi, 0] * es, emr),
+                jnp.where(msk, m_eco[mi, 1] * es, emg),
+                jnp.where(msk, m_eco[mi, 2] * es, emb),
                 jnp.where(msk, m_rgh[mi, 0], rg),
                 jnp.where(msk, m_trn[mi, 0], tn),
                 jnp.where(msk, m_ior[mi, 0], io),
             )
 
-        (alb_r, alb_g, alb_b, eco_r, eco_g, eco_b, est, rgh, trn, ior) = (
+        (alb_r, alb_g, alb_b, em_r, em_g, em_b, rgh, trn, ior) = (
             jax.lax.fori_loop(
                 0,
                 n_mat,
                 mat_body,
-                (alb_r, alb_g, alb_b, eco_r, eco_g, eco_b, est, rgh, trn, ior),
+                (alb_r, alb_g, alb_b, em_r, em_g, em_b, rgh, trn, ior),
             )
         )
 
         # Le then albedo (rtx_frag.glsl:226-230).
         am = alive
-        ar = ar + jnp.where(am, tr * eco_r * est, 0.0)
-        ag = ag + jnp.where(am, tg * eco_g * est, 0.0)
-        ab = ab + jnp.where(am, tb * eco_b * est, 0.0)
+        ar = ar + jnp.where(am, tr * em_r, 0.0)
+        ag = ag + jnp.where(am, tg * em_g, 0.0)
+        ab = ab + jnp.where(am, tb * em_b, 0.0)
         tr = jnp.where(am, tr * alb_r, tr)
         tg = jnp.where(am, tg * alb_g, tg)
         tb = jnp.where(am, tb * alb_b, tb)
