@@ -141,6 +141,17 @@ def cmd_render(args):
 
     import jax.numpy as jnp
 
+    if getattr(args, "bounce_stats", False):
+        from ..models.integrator import render_bounce_stats
+
+        stats = render_bounce_stats(
+            scene, camera, cfg.height, cfg.width, min(cfg.spp, 4),
+            cfg.max_bounces, jnp.uint32(cfg.seed),
+        )
+        stats = {k: np.asarray(v).tolist() for k, v in stats.items()}
+        metrics.log("bounce_histogram", **stats)
+        print(f"bounce histogram (per bounce): {stats}")
+
     u8 = np.asarray(render_image_u8(jnp.asarray(ck.image)))
     bitmap.write_bitmap(cfg.output, u8, y_inverted=True)
     print(f"wrote {cfg.output} ({cfg.width}x{cfg.height}, {cfg.spp} spp)")
@@ -287,6 +298,10 @@ def build_parser():
     common(r)
     r.add_argument("--seed", type=int)
     r.add_argument("--out", help="output BMP path")
+    r.add_argument(
+        "--bounce-stats", action="store_true", dest="bounce_stats",
+        help="log a per-bounce hit/miss/TIR event histogram",
+    )
     r.set_defaults(fn=cmd_render)
 
     a = sub.add_parser("animate", help="animated camera sweep to frames/")

@@ -47,6 +47,7 @@ __all__ = [
     "trace_paths",
     "render_tile",
     "render_radiance",
+    "render_bounce_stats",
     "render_image_u8",
     "DEFAULT_EPS_OFFSET",
 ]
@@ -59,6 +60,7 @@ def trace_paths(
     scene: Scene, origins, directions, state, max_bounces: int,
     variant: str = "gpu",
     remat: bool = False,
+    collect_stats: bool = False,
 ):
     """Estimate incident radiance for a wavefront of rays.
 
@@ -78,7 +80,12 @@ def trace_paths(
         (identical expectation; exact for transparency in {0, 1}).
 
     Returns:
-      (radiance (N, 3), final RNG state).
+      (radiance (N, 3), final RNG state); with ``collect_stats=True`` also
+      a dict of per-bounce (max_bounces+1,) int32 event counts — the
+      bounce-histogram observability the reference lacks entirely
+      (SURVEY.md SS5 "Metrics"): ``hits`` (rays shaded), ``misses`` (sky
+      exits), ``tir_deaths`` (refract rays dropped to total internal
+      reflection, rtx_frag.glsl:261-262).
     """
     if variant not in ("gpu", "cpu"):
         raise ValueError(f"unknown variant {variant!r}")
@@ -96,6 +103,7 @@ def trace_paths(
         miss_now = alive & ~hit.mask
         total = total + jnp.where(miss_now[:, None], thr * sky, 0.0)
         alive = alive & hit.mask
+        hit_now = alive
         live = alive[:, None]
 
         m = hit.material
@@ -160,7 +168,14 @@ def trace_paths(
         new_o = p + offs * side * hit.normal
         o = jnp.where(live, new_o, o)
         d = jnp.where(live, new_d, d)
-        return (o, d, thr, total, alive, st), None
+        stats = None
+        if collect_stats:
+            stats = {
+                "hits": jnp.sum(hit_now.astype(jnp.int32)),
+                "misses": jnp.sum(miss_now.astype(jnp.int32)),
+                "tir_deaths": jnp.sum((hit_now & died).astype(jnp.int32)),
+            }
+        return (o, d, thr, total, alive, st), stats
 
     total = jnp.zeros_like(origins)
     thr = jnp.ones_like(origins)
@@ -170,13 +185,15 @@ def trace_paths(
     # O(N) carries — without it reverse-mode keeps every bounce's (N, S+T)
     # intersection intermediates alive and OOMs at production resolutions.
     step_fn = jax.checkpoint(step) if remat else step
-    carry, _ = jax.lax.scan(step_fn, carry, None, length=max_bounces + 1)
+    carry, stats = jax.lax.scan(step_fn, carry, None, length=max_bounces + 1)
     o, d, thr, total, alive, st = carry
     # Bounce budget exhausted -> sky, like stack items popped with
     # bounces > MAX_BOUNCES (rtx_frag.glsl:212-214).
     total = total + jnp.where(alive[:, None], thr * sky, 0.0)
     if cpu_tier:
         total = jnp.clip(total, 0.0, 1.0)  # per-sample clamp, renderer.c:88
+    if collect_stats:
+        return total, st, stats
     return total, st
 
 
@@ -267,6 +284,35 @@ def render_radiance(
         sample_offset=sample_offset,
         variant=variant,
     )
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def render_bounce_stats(scene, camera, height, width, spp, max_bounces, seed):
+    """Per-bounce event histogram over a full render.
+
+    Returns a dict of (max_bounces + 1,) int32 arrays summed over all
+    pixels and samples: ``hits``, ``misses``, ``tir_deaths`` — the
+    structured observability SURVEY.md SS5 mandates (the reference's only
+    runtime signal is a commented-out frame-time printf, src/main.c:253-258).
+    Event counts are exact for the Pallas engine too: both engines run the
+    same estimator on the same RNG streams, so their discrete decisions
+    coincide (tested to f32 tolerance).
+    """
+    pix = pixel_indices(height, width, 0, height)
+    o, d = primary_rays(camera, height, width)
+
+    def body(acc, sample_idx):
+        st = _rng.seed_state(pix, sample_idx, seed)
+        _, _, stats = trace_paths(scene, o, d, st, max_bounces,
+                                  collect_stats=True)
+        return jax.tree_util.tree_map(jnp.add, acc, stats), None
+
+    zeros = {
+        k: jnp.zeros((max_bounces + 1,), jnp.int32)
+        for k in ("hits", "misses", "tir_deaths")
+    }
+    acc, _ = jax.lax.scan(body, zeros, jnp.arange(spp, dtype=jnp.int32))
+    return acc
 
 
 def render_image_u8(radiance):

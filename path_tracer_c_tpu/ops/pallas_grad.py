@@ -49,11 +49,14 @@ from . import pallas_kernels as fk
 
 __all__ = ["render_pallas_bwd", "BWD_TILE"]
 
-# The backward kernel carries far more live state than the forward (the
-# replay's per-bounce VMEM stores + accumulator planes), and Mosaic's
-# compile time blows up past (16,128); (8,128) compiles fast and already
-# runs the 1024^2/16spp gradient in ~0.5 s.
-BWD_TILE = (8, 128)
+# Tile sweep on v5e (1024^2/16spp/8bounce glossy, Grays/s): (8,128) 0.54,
+# (16,128) 0.94, (32,128) 1.27, (64,128) 1.32, (32,256) 1.31, (8,512)
+# 1.24. Unlike the forward, bigger tiles keep winning: the replay's
+# per-bounce stores live in VMEM scratch (not loop-carried vregs), so
+# large tiles amortize the suffix sweep's per-material accumulator loop
+# instead of spilling. (64,128) is past the knee; VMEM scratch there is
+# ~4 MB of the ~16 MB budget at 8 bounces.
+BWD_TILE = (64, 128)
 
 
 def _bwd_kernel(
@@ -120,7 +123,7 @@ def _bwd_kernel(
         return 0
     jax.lax.fori_loop(0, n_mat, zero_acc, 0)
 
-    closest_hit, _ = fk.make_geometry(
+    closest_hit, _, _ = fk.make_geometry(
         sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
         tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
         (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat,
@@ -143,16 +146,20 @@ def _bwd_kernel(
 
         # ---- replay forward, storing per-bounce data ----
         def fwd_body(b, fc):
-            (ox, oy, oz, dx, dy, dz, tr, tg, tb, alivef, rng) = fc
-            alive = alivef > 0.0
+            # Like the forward kernel, termination is encoded as zero
+            # throughput instead of an alive plane: every contribution a
+            # dead lane's garbage replay could make to the accumulators is
+            # multiplied by its stored prefix P == 0, and the suffix
+            # sweep's carry for a dead lane is re-anchored at the bounce
+            # where the real death event is stored, so later corruption
+            # never propagates past it.
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rng) = fc
             bt, nx, ny, nz, mat = jax.lax.cond(
                 b == 0,
                 lambda: hit0,
                 lambda: closest_hit(ox, oy, oz, dx, dy, dz),
             )
             hitmask = bt < fk._INF
-            miss_now = alive & ~hitmask
-            alive = alive & hitmask
 
             p_store[b, 0] = tr
             p_store[b, 1] = tg
@@ -180,9 +187,9 @@ def _bwd_kernel(
                 0, n_mat, mat_body, (alb_r, alb_g, alb_b, rgh, trn, ior)
             )
 
-            tr = jnp.where(alive, tr * alb_r, tr)
-            tg = jnp.where(alive, tg * alb_g, tg)
-            tb = jnp.where(alive, tb * alb_b, tb)
+            tr = jnp.where(hitmask, tr * alb_r, 0.0)
+            tg = jnp.where(hitmask, tg * alb_g, 0.0)
+            tb = jnp.where(hitmask, tb * alb_b, 0.0)
 
             rng, (sx_, sy_, sz_) = fk._unit_sphere(rng)
             rng, u_branch = fk._uniform(rng)
@@ -219,12 +226,18 @@ def _bwd_kernel(
             ndz = jnp.where(choose_refr, txz, rfz)
             died = choose_refr & tirm
 
-            mk_store[b, 0] = jnp.where(alive, 1.0, 0.0)
-            mk_store[b, 1] = jnp.where(miss_now, 1.0, 0.0)
-            mk_store[b, 2] = jnp.where(alive & died, 1.0, 0.0)
+            # Dead lanes store garbage events here, but the sweep multiplies
+            # every accumulator contribution by their stored P == 0 and
+            # re-anchors the carry at the real death event (see fwd_body
+            # docstring), so un-gated stores are exact.
+            mk_store[b, 0] = jnp.where(hitmask, 1.0, 0.0)
+            mk_store[b, 1] = jnp.where(hitmask, 0.0, 1.0)
+            mk_store[b, 2] = jnp.where(died & hitmask, 1.0, 0.0)
             mk_store[b, 3] = jnp.where(choose_refr, 1.0, 0.0)
 
-            alive = alive & ~died
+            tr = jnp.where(died, 0.0, tr)
+            tg = jnp.where(died, 0.0, tg)
+            tb = jnp.where(died, 0.0, tb)
             ndx = jnp.where(died, dx, ndx)
             ndy = jnp.where(died, dy, ndy)
             ndz = jnp.where(died, dz, ndz)
@@ -236,15 +249,8 @@ def _bwd_kernel(
                 px * px + py * py + pz * pz
             )
             side = jnp.where(ndx * nx + ndy * ny + ndz * nz >= 0.0, 1.0, -1.0)
-            am = alive
-            ox = jnp.where(am, px + offs * side * nx, ox)
-            oy = jnp.where(am, py + offs * side * ny, oy)
-            oz = jnp.where(am, pz + offs * side * nz, oz)
-            dx = jnp.where(am, ndx, dx)
-            dy = jnp.where(am, ndy, dy)
-            dz = jnp.where(am, ndz, dz)
-            return (ox, oy, oz, dx, dy, dz, tr, tg, tb,
-                    jnp.where(alive, 1.0, 0.0), rng)
+            return (px + offs * side * nx, py + offs * side * ny,
+                    pz + offs * side * nz, ndx, ndy, ndz, tr, tg, tb, rng)
 
         # Pre-zero the per-bounce masks so bounces skipped by the early
         # exit read as "no event" in the suffix sweep.
@@ -258,25 +264,27 @@ def _bwd_kernel(
         fc0 = (
             jnp.full((th, tw), cox), jnp.full((th, tw), coy),
             jnp.full((th, tw), coz), pdx, pdy, pdz,
-            ones, ones, ones, ones, st,
+            ones, ones, ones, st,
         )
 
         def w_cond(c):
             b, fc = c
-            return (b < max_bounces + 1) & (jnp.max(fc[9]) > 0.0)
+            return (b < max_bounces + 1) & (
+                jnp.max(fc[6] + fc[7] + fc[8]) > 0.0
+            )
 
         def w_body(c):
             b, fc = c
             return b + 1, fwd_body(b, fc)
 
         _, fc = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), fc0))
-        (_, _, _, _, _, _, tr_e, tg_e, tb_e, alive_e, _) = fc
+        (_, _, _, _, _, _, tr_e, tg_e, tb_e, _) = fc
 
-        # exhausted lanes: total += P_end * sky  ->  d_sky += g * P_end
-        ae = alive_e > 0.0
-        sky_acc[0] = sky_acc[0] + jnp.where(ae, g_r * tr_e, 0.0)
-        sky_acc[1] = sky_acc[1] + jnp.where(ae, g_g * tg_e, 0.0)
-        sky_acc[2] = sky_acc[2] + jnp.where(ae, g_b * tb_e, 0.0)
+        # exhausted lanes: total += P_end * sky -> d_sky += g * P_end
+        # (dead lanes carry P == 0, so no mask is needed)
+        sky_acc[0] = sky_acc[0] + g_r * tr_e
+        sky_acc[1] = sky_acc[1] + g_g * tg_e
+        sky_acc[2] = sky_acc[2] + g_b * tb_e
 
         # ---- suffix sweep ----
         def bwd_body(i, T):

@@ -6,7 +6,8 @@ TPU-native re-design of the GPU fragment kernel (C9,
 pixel. Per tile, the whole sample loop (rtx_frag.glsl:288-292) and bounce
 loop (196-271) run with every per-ray quantity resident in VMEM as
 (TH, TW) planes — origins, directions, throughput, accumulated light,
-alive mask, RNG state — so HBM traffic is exactly one radiance tile out;
+RNG state (termination is encoded as zero throughput; there is no alive
+plane) — so HBM traffic is exactly one radiance tile out;
 the scene lives in SMEM scalars (the uniform-array analog of
 rtx_frag.glsl:54-60). Terminated rays are masked lanes, not divergent
 threads.
@@ -124,7 +125,7 @@ def make_geometry(
         bcz = zero
 
         dd = dx * dx + dy * dy + dz * dz
-        inv2a = 0.5 / dd
+        invdd = 1.0 / dd
 
         def sph_body(i, c):
             bt, bcx, bcy, bcz, mat = c
@@ -132,12 +133,15 @@ def make_geometry(
             r = sph_r[i, 0]
             act = sph_a[i, 0]
             ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-            b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+            # Half-b quadratic: with h = oc.d, det/4 = h^2 - dd*cq has the
+            # same sign as the full discriminant and the same roots — two
+            # multiplies cheaper per sphere than the textbook form.
+            h = ocx * dx + ocy * dy + ocz * dz
             cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-            det = b * b - 4.0 * dd * cq
+            det = h * h - dd * cq
             sq = jnp.sqrt(jnp.maximum(det, 0.0))
-            t1 = (-b - sq) * inv2a
-            t2 = (-b + sq) * inv2a
+            t1 = (-h - sq) * invdd
+            t2 = (-h + sq) * invdd
             t = jnp.where(t1 >= 0.0, t1, jnp.where(t2 >= 0.0, t2, _INF))
             t = jnp.where((det >= 0.0) & (act > 0.0), t, _INF)
             upd = t < bt
@@ -213,38 +217,20 @@ def make_geometry(
         )
         return best_t, nx, ny, nz, mat
 
-    def shade(hit, st8):
-        """One bounce's shading + next-ray update, given the closest hit.
-
-        alive travels as f32 0/1: Mosaic cannot carry i1 vectors through
-        scf loops."""
-        (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab, alivef, rng) = st8
-        best_t, nx, ny, nz, mat = hit
-        alive = alivef > 0.0
-
-        hitmask = best_t < _INF
-        miss_now = alive & ~hitmask
-        ar = ar + jnp.where(miss_now, tr * sky_r, 0.0)
-        ag = ag + jnp.where(miss_now, tg * sky_g, 0.0)
-        ab = ab + jnp.where(miss_now, tb * sky_b, 0.0)
-        alive = alive & hitmask
-
-        ts = jnp.where(hitmask, best_t, 0.0)
-        px = ox + ts * dx
-        py = oy + ts * dy
-        pz = oz + ts * dz
-
-        # -- material fetch by index (uniform materials[] analog) --
-        # Emission is fetched premultiplied (color x strength, combined in
-        # SMEM scalars): the forward only ever uses the product.
-        alb_r = zero
-        alb_g = zero
-        alb_b = zero
-        em_r = zero
-        em_g = zero
-        em_b = zero
-        rgh = zero
-        trn = zero
+    def fetch_materials(mat):
+        """Material planes by index (uniform materials[] analog): one
+        masked select-loop over the material table. Split out of shade so
+        the bounce-0 fetch (whose hit is sample-invariant) can be hoisted
+        out of the sample loop."""
+        zero_ = jnp.zeros((th, tw), jnp.float32)
+        alb_r = zero_
+        alb_g = zero_
+        alb_b = zero_
+        em_r = zero_
+        em_g = zero_
+        em_b = zero_
+        rgh = zero_
+        trn = zero_
         ior = jnp.ones((th, tw), jnp.float32)
 
         def mat_body(mi, c):
@@ -263,23 +249,47 @@ def make_geometry(
                 jnp.where(msk, m_ior[mi, 0], io),
             )
 
-        (alb_r, alb_g, alb_b, em_r, em_g, em_b, rgh, trn, ior) = (
-            jax.lax.fori_loop(
-                0,
-                n_mat,
-                mat_body,
-                (alb_r, alb_g, alb_b, em_r, em_g, em_b, rgh, trn, ior),
-            )
+        return jax.lax.fori_loop(
+            0, n_mat, mat_body,
+            (alb_r, alb_g, alb_b, em_r, em_g, em_b, rgh, trn, ior),
         )
 
-        # Le then albedo (rtx_frag.glsl:226-230).
-        am = alive
-        ar = ar + jnp.where(am, tr * em_r, 0.0)
-        ag = ag + jnp.where(am, tg * em_g, 0.0)
-        ab = ab + jnp.where(am, tb * em_b, 0.0)
-        tr = jnp.where(am, tr * alb_r, tr)
-        tg = jnp.where(am, tg * alb_g, tg)
-        tb = jnp.where(am, tb * alb_b, tb)
+    def shade(hit, mats, st):
+        """One bounce's shading + next-ray update, given the closest hit.
+
+        There is no explicit alive mask: termination is encoded as zero
+        throughput. A lane that misses pays the sky and has its throughput
+        zeroed; every later contribution it could make is ``T * x`` with
+        ``T == 0``, i.e. exactly zero, so re-shading dead lanes is
+        bit-identical to masking them — one fewer loop-carried VMEM plane
+        and ~8 fewer selects per bounce. It also strengthens the all-dead
+        early exit: lanes whose throughput hits exact zero through a black
+        albedo terminate too (exact, zero-variance Russian roulette)."""
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab, rng) = st
+        best_t, nx, ny, nz, mat = hit
+
+        hitmask = best_t < _INF
+        ar = ar + jnp.where(hitmask, 0.0, tr * sky_r)
+        ag = ag + jnp.where(hitmask, 0.0, tg * sky_g)
+        ab = ab + jnp.where(hitmask, 0.0, tb * sky_b)
+
+        ts = jnp.where(hitmask, best_t, 0.0)
+        px = ox + ts * dx
+        py = oy + ts * dy
+        pz = oz + ts * dz
+
+        # Material planes (emission premultiplied color x strength —
+        # the forward only ever uses the product).
+        (alb_r, alb_g, alb_b, em_r, em_g, em_b, rgh, trn, ior) = mats
+
+        # Le then albedo (rtx_frag.glsl:226-230); miss lanes terminate by
+        # zeroing their throughput here.
+        ar = ar + jnp.where(hitmask, tr * em_r, 0.0)
+        ag = ag + jnp.where(hitmask, tg * em_g, 0.0)
+        ab = ab + jnp.where(hitmask, tb * em_b, 0.0)
+        tr = jnp.where(hitmask, tr * alb_r, 0.0)
+        tg = jnp.where(hitmask, tg * alb_g, 0.0)
+        tb = jnp.where(hitmask, tb * alb_b, 0.0)
 
         # 7-draw schedule: unit sphere + branch uniform.
         rng, (sx_, sy_, sz_) = _unit_sphere(rng)
@@ -316,8 +326,12 @@ def make_geometry(
         ndx = jnp.where(choose_refr, txx, rfx)
         ndy = jnp.where(choose_refr, txy, rfy)
         ndz = jnp.where(choose_refr, txz, rfz)
+        # TIR death: zero the throughput; keep the old (nonzero) direction
+        # so the dead lane's re-traces stay NaN-free.
         died = choose_refr & tirm
-        alive = alive & ~died
+        tr = jnp.where(died, 0.0, tr)
+        tg = jnp.where(died, 0.0, tg)
+        tb = jnp.where(died, 0.0, tb)
         ndx = jnp.where(died, dx, ndx)
         ndy = jnp.where(died, dy, ndy)
         ndz = jnp.where(died, dz, ndz)
@@ -331,17 +345,11 @@ def make_geometry(
         noy = py + offs * side * ny
         noz = pz + offs * side * nz
 
-        am = alive
-        ox = jnp.where(am, nox, ox)
-        oy = jnp.where(am, noy, oy)
-        oz = jnp.where(am, noz, oz)
-        dx = jnp.where(am, ndx, dx)
-        dy = jnp.where(am, ndy, dy)
-        dz = jnp.where(am, ndz, dz)
-        alivef = jnp.where(alive, 1.0, 0.0).astype(jnp.float32)
-        return (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab, alivef, rng)
+        # Unconditional ray update: dead lanes (zero throughput) may carry
+        # garbage rays, but everything they add downstream is T * x == 0.
+        return (nox, noy, noz, ndx, ndy, ndz, tr, tg, tb, ar, ag, ab, rng)
 
-    return closest_hit, shade
+    return closest_hit, fetch_materials, shade
 
 
 def _kernel(
@@ -411,7 +419,7 @@ def _kernel(
 
     zero = jnp.zeros((th, tw), jnp.float32)
 
-    closest_hit, shade = make_geometry(
+    closest_hit, fetch_materials, shade = make_geometry(
         sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
         tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
         (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat,
@@ -419,11 +427,13 @@ def _kernel(
 
     # The first trace round is RNG-independent (all samples share the same
     # camera ray — the reference shoots identical primary rays per pixel,
-    # rtx_frag.glsl:288-292), so hoist it out of the sample loop.
+    # rtx_frag.glsl:288-292), so hoist it — and its material fetch — out
+    # of the sample loop.
     cam_ox = jnp.full((th, tw), cox)
     cam_oy = jnp.full((th, tw), coy)
     cam_oz = jnp.full((th, tw), coz)
     hit0 = closest_hit(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
+    mats0 = fetch_materials(hit0[4])
 
     def sample_body(s, acc):
         acc_r, acc_g, acc_b = acc
@@ -443,30 +453,31 @@ def _kernel(
             pdx, pdy, pdz,
             ones, ones, ones,
             zero, zero, zero,
-            ones,  # alive mask as f32 (see shade)
             st,
         )
-        st8 = shade(hit0, state0)
+        st13 = shade(hit0, mats0, state0)
 
-        # Remaining bounces with early exit: once every lane in the tile
-        # is dead (sky hit / TIR), skip the rest of the bounce budget —
-        # dead lanes contribute nothing, so this is exact.
+        # Remaining bounces with early exit: termination is zero
+        # throughput (see shade), so once every lane's throughput is zero
+        # the rest of the bounce budget contributes exactly nothing.
         def w_cond(carry):
-            b, s8 = carry
-            return (b < max_bounces + 1) & (jnp.max(s8[12]) > 0.0)
+            b, s = carry
+            return (b < max_bounces + 1) & (
+                jnp.max(s[6] + s[7] + s[8]) > 0.0
+            )
 
         def w_body(carry):
-            b, s8 = carry
-            hit = closest_hit(s8[0], s8[1], s8[2], s8[3], s8[4], s8[5])
-            return b + 1, shade(hit, s8)
+            b, s = carry
+            hit = closest_hit(s[0], s[1], s[2], s[3], s[4], s[5])
+            return b + 1, shade(hit, fetch_materials(hit[4]), s)
 
-        _, out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(1), st8))
-        (_, _, _, _, _, _, tr, tg, tb, ar, ag, ab, alivef, _) = out
-        alive = alivef > 0.0
-        # Bounce budget exhausted -> sky (rtx_frag.glsl:212-214).
-        ar = ar + jnp.where(alive, tr * sky_r, 0.0)
-        ag = ag + jnp.where(alive, tg * sky_g, 0.0)
-        ab = ab + jnp.where(alive, tb * sky_b, 0.0)
+        _, out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(1), st13))
+        (_, _, _, _, _, _, tr, tg, tb, ar, ag, ab, _) = out
+        # Bounce budget exhausted -> sky (rtx_frag.glsl:212-214); dead
+        # lanes carry zero throughput, so no mask is needed.
+        ar = ar + tr * sky_r
+        ag = ag + tg * sky_g
+        ab = ab + tb * sky_b
         return (acc_r + ar, acc_g + ag, acc_b + ab)
 
     acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))

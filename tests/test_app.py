@@ -102,3 +102,20 @@ def test_render_with_device_mesh(tmp_path):
     px = np.frombuffer(data[54:], np.uint8).reshape(16, stride)[:, : 3 * 16]
     px = px.reshape(16, 16, 3)[::-1, :, ::-1]
     np.testing.assert_array_equal(px, np.asarray(single))
+
+
+def test_render_bounce_stats_metrics(tmp_path):
+    from path_tracer_c_tpu.utils.metrics import MetricsLogger
+
+    out = tmp_path / "out.bmp"
+    mpath = tmp_path / "m.jsonl"
+    app.main([
+        "render", "--scene", "demo", "--width", "32", "--height", "16",
+        "--spp", "2", "--max-bounces", "3", "--engine", "core",
+        "--out", str(out), "--metrics", str(mpath), "--bounce-stats",
+    ])
+    recs = [r for r in MetricsLogger.read(str(mpath))
+            if r["kind"] == "bounce_histogram"]
+    assert len(recs) == 1
+    assert len(recs[0]["hits"]) == 4
+    assert sum(recs[0]["hits"]) > 0

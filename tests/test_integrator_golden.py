@@ -139,3 +139,23 @@ def test_cpu_tier_differs_from_gpu_tier():
         pt.render_radiance(scene, cam, 8, 8, 2, 3, jnp.uint32(1), variant="cpu")
     )
     assert not np.allclose(a, b)
+
+
+def test_bounce_stats_conservation():
+    """Per-bounce event histogram obeys ray conservation: every ray at
+    bounce b either hits or misses, and the rays reaching bounce b+1 are
+    exactly bounce b's hits minus its TIR deaths."""
+    from path_tracer_c_tpu.models.integrator import render_bounce_stats
+
+    scene = demo.glass_scene() if hasattr(demo, "glass_scene") else demo.demo_scene()
+    cam = pt.Camera.reference()
+    h, w, spp, bounces = 16, 32, 4, 5
+    st = render_bounce_stats(scene, cam, h, w, spp, bounces, jnp.uint32(3))
+    hits = np.asarray(st["hits"])
+    misses = np.asarray(st["misses"])
+    tir = np.asarray(st["tir_deaths"])
+    assert hits.shape == (bounces + 1,)
+    assert hits[0] + misses[0] == h * w * spp
+    for b in range(1, bounces + 1):
+        assert hits[b] + misses[b] == hits[b - 1] - tir[b - 1], b
+    assert (tir <= hits).all()
