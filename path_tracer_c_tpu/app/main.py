@@ -69,8 +69,7 @@ def _render_once(scene, camera, cfg, seed, sample_offset=0):
         mesh = parallel.make_mesh(tile=cfg.mesh.tile, spp=cfg.mesh.spp)
         return parallel.render_sharded(
             scene, camera, cfg.height, cfg.width, cfg.spp, cfg.max_bounces,
-            jnp.uint32(seed), mesh, jitter=cfg.jitter,
-            engine="pallas" if cfg.engine == "pallas" and not cfg.jitter else "core",
+            jnp.uint32(seed), mesh, jitter=cfg.jitter, engine=cfg.engine,
         )
     if cfg.engine == "physical":
         from ..models.physical import render_physical
@@ -82,12 +81,13 @@ def _render_once(scene, camera, cfg, seed, sample_offset=0):
     if cfg.engine == "pallas":
         th = min(cfg.tile_h, cfg.height)
         tw = min(cfg.tile_w, cfg.width)
-        if cfg.height % th == 0 and cfg.width % tw == 0 and not cfg.jitter:
+        if cfg.height % th == 0 and cfg.width % tw == 0:
             return render_pallas(
                 scene, camera, cfg.height, cfg.width, cfg.spp, cfg.max_bounces,
                 jnp.uint32(seed), sample_offset=sample_offset, tile=(th, tw),
+                jitter=cfg.jitter,
             )
-        # fall through: tile-indivisible sizes or jitter use the core path
+        # fall through: tile-indivisible sizes use the core path
     return render_radiance(
         scene, camera, cfg.height, cfg.width, cfg.spp, cfg.max_bounces,
         jnp.uint32(seed), jitter=cfg.jitter, sample_offset=sample_offset,

@@ -271,17 +271,24 @@ def render_physical(
     jitter: bool = True,
     remat: bool = False,
     sample_offset=0,
+    row_start=0,
+    rows: int | None = None,
 ):
-    """Physical-mode radiance image (H, W, 3); anti-aliasing jitter on by
-    default (unlike the reference tier, which shoots identical primary
-    rays for parity)."""
-    pix = pixel_indices(height, width)
-    rays = primary_rays(camera, height, width)
+    """Physical-mode radiance image (rows, W, 3); anti-aliasing jitter on
+    by default (unlike the reference tier, which shoots identical primary
+    rays for parity). ``row_start``/``rows`` select a row block with
+    global-index RNG — the unit of image sharding (parallel/render.py),
+    same contract as ``render_tile``."""
+    rows = height if rows is None else rows
+    pix = pixel_indices(height, width, row_start, rows)
+    rays = primary_rays(camera, height, width, row_start=row_start, rows=rows)
 
     def one_sample(sample_idx):
         st = _rng.seed_state(pix, sample_idx, seed)
         if jitter:
-            o, d, st = primary_rays(camera, height, width, st)
+            o, d, st = primary_rays(
+                camera, height, width, st, row_start=row_start, rows=rows
+            )
         else:
             o, d = rays
         radiance, _ = trace_paths_physical(
@@ -295,7 +302,7 @@ def render_physical(
     def body(accum, sample_idx):
         return accum + one_sample(sample_idx), None
 
-    init = jnp.zeros((height * width, 3), jnp.float32)
+    init = jnp.zeros((rows * width, 3), jnp.float32)
     sample_ids = jnp.arange(spp, dtype=jnp.int32) + jnp.int32(sample_offset)
     accum, _ = jax.lax.scan(body, init, sample_ids)
-    return (accum / spp).reshape(height, width, 3)
+    return (accum / spp).reshape(rows, width, 3)

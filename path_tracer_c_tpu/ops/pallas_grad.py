@@ -29,8 +29,9 @@ Per-material accumulation uses (M, 3, TH, TW) VMEM planes (masked adds in
 an M-loop — no gathers), reduced to scalars once per tile and summed
 across grid programs into a single (M, 8)+sky output block.
 
-Supports the default "gpu" variant; the "cpu" tier (whose per-sample
-clamp breaks the product structure) falls back to core-path AD.
+Supports the default "gpu" variant, with or without anti-aliasing jitter
+and row-block sharding (``row_start``/``rows``); the "cpu" tier (whose
+per-sample clamp breaks the product structure) falls back to core-path AD.
 """
 
 from __future__ import annotations
@@ -73,7 +74,7 @@ def _bwd_kernel(
     acc,  # (M, 8, TH, TW) per-material cotangent planes
     sky_acc,  # (3, TH, TW)
     *,
-    th, tw, n_sph, n_tri, n_mat, spp, max_bounces,
+    th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -90,8 +91,11 @@ def _bwd_kernel(
     cfx, cfy, cfz = par_f[0, 16], par_f[0, 17], par_f[0, 18]
     seed = par_i[0, 0].astype(jnp.uint32)
     sample_offset = par_i[0, 1]
+    row_start = par_i[0, 2]  # global row of this kernel's first row (sharding)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+    rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th + row_start
+    )
     cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
     pix = (rows * width.astype(jnp.int32) + cols).astype(jnp.uint32)
 
@@ -129,7 +133,7 @@ def _bwd_kernel(
         (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat,
     )
 
-    hit0 = closest_hit(
+    hit0 = None if jitter else closest_hit(
         jnp.full((th, tw), cox), jnp.full((th, tw), coy),
         jnp.full((th, tw), coz), pdx, pdy, pdz,
     )
@@ -144,21 +148,47 @@ def _bwd_kernel(
         st, _ = fk._pcg(st)
         st, _ = fk._pcg(st)
 
+        if jitter:
+            # Anti-aliasing replay: same 2 draws + draw order as
+            # primary_rays(jitter_state) (ops/camera.py:123-131).
+            st, jx = fk._uniform(st)
+            st, jy = fk._uniform(st)
+            xj = (cols.astype(jnp.float32) + jx) / width * 2.0 - 1.0
+            yj = -((rows.astype(jnp.float32) + jy) / height * 2.0 - 1.0)
+            djx = xj * tan2
+            djy = yj * tan2 / aspect
+            sdx = djx * crx + djy * cux + cfx
+            sdy = djx * cry + djy * cuy + cfy
+            sdz = djx * crz + djy * cuz + cfz
+            sn = jax.lax.rsqrt(sdx * sdx + sdy * sdy + sdz * sdz)
+            sdx, sdy, sdz = sdx * sn, sdy * sn, sdz * sn
+        else:
+            sdx, sdy, sdz = pdx, pdy, pdz
+
         # ---- replay forward, storing per-bounce data ----
         def fwd_body(b, fc):
-            # Like the forward kernel, termination is encoded as zero
-            # throughput instead of an alive plane: every contribution a
-            # dead lane's garbage replay could make to the accumulators is
-            # multiplied by its stored prefix P == 0, and the suffix
-            # sweep's carry for a dead lane is re-anchored at the bounce
-            # where the real death event is stored, so later corruption
-            # never propagates past it.
-            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rng) = fc
-            bt, nx, ny, nz, mat = jax.lax.cond(
-                b == 0,
-                lambda: hit0,
-                lambda: closest_hit(ox, oy, oz, dx, dy, dz),
-            )
+            # Dead lanes replay garbage, but every contribution their
+            # garbage could make to the accumulators is multiplied by the
+            # stored prefix P == 0, and the suffix sweep's carry for a
+            # dead lane is re-anchored at the bounce where the real death
+            # event is stored, so later corruption never propagates past
+            # it. Unlike the forward kernel, the replay CANNOT terminate
+            # on zero throughput: a lane killed by an exactly-zero albedo
+            # has P == 0 downstream yet its albedo cotangent g*P_b*T_b
+            # needs T_b built from the *untraced future* path, so the
+            # replay tracks structural deaths (miss / TIR) in a separate
+            # ``done`` plane (f32 0/1 — Mosaic can't carry i1 vectors) and
+            # only those end it.
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rng, done) = fc
+            if jitter:
+                # per-sample primary rays: nothing to hoist
+                bt, nx, ny, nz, mat = closest_hit(ox, oy, oz, dx, dy, dz)
+            else:
+                bt, nx, ny, nz, mat = jax.lax.cond(
+                    b == 0,
+                    lambda: hit0,
+                    lambda: closest_hit(ox, oy, oz, dx, dy, dz),
+                )
             hitmask = bt < fk._INF
 
             p_store[b, 0] = tr
@@ -235,6 +265,10 @@ def _bwd_kernel(
             mk_store[b, 2] = jnp.where(died & hitmask, 1.0, 0.0)
             mk_store[b, 3] = jnp.where(choose_refr, 1.0, 0.0)
 
+            # Structural death this bounce: miss or TIR. Zero albedo is
+            # NOT a death for the replay (see fwd_body docstring).
+            done = jnp.maximum(done, jnp.where(hitmask & ~died, 0.0, 1.0))
+
             tr = jnp.where(died, 0.0, tr)
             tg = jnp.where(died, 0.0, tg)
             tb = jnp.where(died, 0.0, tb)
@@ -250,7 +284,8 @@ def _bwd_kernel(
             )
             side = jnp.where(ndx * nx + ndy * ny + ndz * nz >= 0.0, 1.0, -1.0)
             return (px + offs * side * nx, py + offs * side * ny,
-                    pz + offs * side * nz, ndx, ndy, ndz, tr, tg, tb, rng)
+                    pz + offs * side * nz, ndx, ndy, ndz, tr, tg, tb, rng,
+                    done)
 
         # Pre-zero the per-bounce masks so bounces skipped by the early
         # exit read as "no event" in the suffix sweep.
@@ -263,22 +298,24 @@ def _bwd_kernel(
 
         fc0 = (
             jnp.full((th, tw), cox), jnp.full((th, tw), coy),
-            jnp.full((th, tw), coz), pdx, pdy, pdz,
-            ones, ones, ones, st,
+            jnp.full((th, tw), coz), sdx, sdy, sdz,
+            ones, ones, ones, st, zero,
         )
 
+        # Early exit only once every lane has a *structural* death event
+        # (miss/TIR) on record — zero-throughput lanes keep replaying so
+        # the suffix carry they need is built (ADVICE r1: black-albedo
+        # gradients were ~2x wrong under the throughput-based exit).
         def w_cond(c):
             b, fc = c
-            return (b < max_bounces + 1) & (
-                jnp.max(fc[6] + fc[7] + fc[8]) > 0.0
-            )
+            return (b < max_bounces + 1) & (jnp.min(fc[10]) < 1.0)
 
         def w_body(c):
             b, fc = c
             return b + 1, fwd_body(b, fc)
 
         _, fc = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), fc0))
-        (_, _, _, _, _, _, tr_e, tg_e, tb_e, _) = fc
+        (_, _, _, _, _, _, tr_e, tg_e, tb_e, _, _) = fc
 
         # exhausted lanes: total += P_end * sky -> d_sky += g * P_end
         # (dead lanes carry P == 0, so no mask is needed)
@@ -395,14 +432,48 @@ def _bwd_kernel(
         out_ref[n_mat, c] = out_ref[n_mat, c] + jnp.sum(sky_acc[c])
 
 
+def _fit_tile(rows, width, tile, n_mat, max_bounces):
+    """Largest kernel tile that (a) divides the row block / width, and
+    (b) keeps the backward's VMEM scratch within budget.
+
+    The scratch is ``th*tw*4 * ((B+1)*8 + n_mat*8 + 3)`` bytes (prefix +
+    mask + mat stores plus the per-material accumulator planes) — note the
+    ``n_mat`` term: many-material scenes must shrink the tile or blow the
+    ~16 MB VMEM budget. Tile heights prefer multiples of 8 (f32 sublane).
+    """
+    th0, tw0 = tile
+    tw = min(tw0, width)
+    while width % tw:
+        tw -= 1
+
+    def divisor_leq(n, cap):
+        best = 1
+        for d in range(1, cap + 1):
+            if n % d == 0 and (d % 8 == 0 or d <= 8 or n % 8):
+                best = d
+        return best
+
+    th = divisor_leq(rows, min(th0, rows))
+    budget = 10 * 2**20  # leave headroom for g tile + compiler temps
+    scratch = lambda t: t * tw * 4 * ((max_bounces + 1) * 8 + n_mat * 8 + 3)
+    while th > 1 and scratch(th) > budget:
+        th = divisor_leq(rows, max(th // 2, 1))
+        if scratch(th) > budget and th == 1:
+            break
+    return th, tw
+
+
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "spp", "max_bounces", "tile", "interpret"),
+    static_argnames=(
+        "height", "width", "spp", "max_bounces", "tile", "interpret",
+        "rows", "jitter",
+    ),
 )
 def render_pallas_bwd(
     scene: Scene,
     camera: Camera,
-    g,  # (H, W, 3) cotangent of the radiance image
+    g,  # (rows, W, 3) cotangent of the radiance image (row block)
     height: int,
     width: int,
     spp: int,
@@ -411,18 +482,22 @@ def render_pallas_bwd(
     sample_offset=0,
     tile=BWD_TILE,
     interpret: bool = False,
+    row_start=0,
+    rows: int | None = None,
+    jitter: bool = False,
 ):
     """VJP of :func:`pallas_kernels.render_pallas` w.r.t. the scene.
 
     Returns a Scene-shaped cotangent pytree (zeros for geometry, roughness,
     IOR, metallicity and masks — exactly what AD produces, see module
-    docstring).
+    docstring). ``row_start``/``rows`` select a row block with global-index
+    RNG, so the kernel runs per shard under ``shard_map`` — shard_map's
+    transpose then psums the replicated scene's cotangents across the mesh.
+    The tile auto-shrinks to divide odd row counts and to bound the
+    n_mat-dependent VMEM scratch.
     """
-    th, tw = tile
-    th = min(th, height)
-    tw = min(tw, width)
-    if height % th or width % tw:
-        raise ValueError(f"{height}x{width} not divisible by tile {th}x{tw}")
+    rows = height if rows is None else rows
+    th, tw = _fit_tile(rows, width, tile, scene.num_materials, max_bounces)
     interpret = interpret or jax.default_backend() != "tpu"
 
     n_mat = scene.num_materials
@@ -435,14 +510,15 @@ def render_pallas_bwd(
         n_mat=n_mat,
         spp=spp,
         max_bounces=max_bounces,
+        jitter=jitter,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     par_i = jnp.stack(
         [jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
          jnp.asarray(sample_offset, jnp.int32),
-         jnp.asarray(0, jnp.int32)]
+         jnp.asarray(row_start, jnp.int32)]
     )[None, :]
-    g_planes = jnp.transpose(g.astype(jnp.float32), (2, 0, 1))  # (3, H, W)
+    g_planes = jnp.transpose(g.astype(jnp.float32), (2, 0, 1))  # (3, rows, W)
 
     operands = fk._scene_operands(scene) + [
         fk._camera_params(camera, scene, height, width),
@@ -451,7 +527,7 @@ def render_pallas_bwd(
     ]
     out = pl.pallas_call(
         kern,
-        grid=(height // th, width // tw),
+        grid=(rows // th, width // tw),
         in_specs=[smem() for _ in operands[:-1]]
         + [pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
                         memory_space=pltpu.VMEM)],

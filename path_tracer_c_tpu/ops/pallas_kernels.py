@@ -18,10 +18,11 @@ self-intersection offsets — so the megakernel is validated against the
 core path and the scalar oracle to f32-rounding tolerance (bit-exact in
 interpreter mode).
 
-The backward pass uses the core path's AD via ``jax.custom_vjp``
-(render_pallas_vjp): Pallas forward for speed, XLA reverse for gradients —
-both consume the same RNG streams, so the VJP is exact for the forward's
-estimator.
+The backward pass (``render_pallas_vjp``) pairs this forward with the
+hand-written suffix-sweep Pallas kernel in ``pallas_grad.py`` — both
+consume the same RNG streams, so the VJP is exact for the forward's
+estimator; ``row_start``/``rows``/``sample_offset`` shard both directions
+under ``shard_map``.
 """
 
 from __future__ import annotations
@@ -291,7 +292,10 @@ def make_geometry(
         tg = jnp.where(hitmask, tg * alb_g, 0.0)
         tb = jnp.where(hitmask, tb * alb_b, 0.0)
 
-        # 7-draw schedule: unit sphere + branch uniform.
+        # Reference-tier 3-draw schedule: unit sphere (2) + branch uniform
+        # (1) per bounce — the contract shared with ops/rng.py, the scalar
+        # oracle, and the backward replay. (The physical tier has its own
+        # 7-draw schedule in pallas_physical.py / models/physical.py.)
         rng, (sx_, sy_, sz_) = _unit_sphere(rng)
         rng, u_branch = _uniform(rng)
 
@@ -381,6 +385,7 @@ def _kernel(
     n_mat: int,
     spp: int,
     max_bounces: int,
+    jitter: bool = False,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -425,15 +430,17 @@ def _kernel(
         (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat,
     )
 
-    # The first trace round is RNG-independent (all samples share the same
-    # camera ray — the reference shoots identical primary rays per pixel,
-    # rtx_frag.glsl:288-292), so hoist it — and its material fetch — out
-    # of the sample loop.
+    # Without jitter, the first trace round is RNG-independent (all samples
+    # share the same camera ray — the reference shoots identical primary
+    # rays per pixel, rtx_frag.glsl:288-292), so hoist it — and its
+    # material fetch — out of the sample loop. With jitter every sample
+    # shoots its own sub-pixel ray, so nothing hoists.
     cam_ox = jnp.full((th, tw), cox)
     cam_oy = jnp.full((th, tw), coy)
     cam_oz = jnp.full((th, tw), coz)
-    hit0 = closest_hit(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
-    mats0 = fetch_materials(hit0[4])
+    if not jitter:
+        hit0 = closest_hit(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
+        mats0 = fetch_materials(hit0[4])
 
     def sample_body(s, acc):
         acc_r, acc_g, acc_b = acc
@@ -447,15 +454,35 @@ def _kernel(
         st, _ = _pcg(st)
         st, _ = _pcg(st)
 
+        if jitter:
+            # Anti-aliasing: 2 sub-pixel uniforms per sample, same draw
+            # order as primary_rays(jitter_state) (ops/camera.py:123-131).
+            st, jx = _uniform(st)
+            st, jy = _uniform(st)
+            xj = (cols.astype(jnp.float32) + jx) / width * 2.0 - 1.0
+            yj = -((rows.astype(jnp.float32) + jy) / height * 2.0 - 1.0)
+            djx = xj * tan2
+            djy = yj * tan2 / aspect
+            sdx = djx * crx + djy * cux + cfx
+            sdy = djx * cry + djy * cuy + cfy
+            sdz = djx * crz + djy * cuz + cfz
+            sn = jax.lax.rsqrt(sdx * sdx + sdy * sdy + sdz * sdz)
+            sdx, sdy, sdz = sdx * sn, sdy * sn, sdz * sn
+            hit_s = closest_hit(cam_ox, cam_oy, cam_oz, sdx, sdy, sdz)
+            mats_s = fetch_materials(hit_s[4])
+        else:
+            sdx, sdy, sdz = pdx, pdy, pdz
+            hit_s, mats_s = hit0, mats0
+
         ones = jnp.ones((th, tw), jnp.float32)
         state0 = (
             cam_ox, cam_oy, cam_oz,
-            pdx, pdy, pdz,
+            sdx, sdy, sdz,
             ones, ones, ones,
             zero, zero, zero,
             st,
         )
-        st13 = shade(hit0, mats0, state0)
+        st13 = shade(hit_s, mats_s, state0)
 
         # Remaining bounces with early exit: termination is zero
         # throughput (see shade), so once every lane's throughput is zero
@@ -541,7 +568,8 @@ def _camera_params(camera: Camera, scene: Scene, height: int, width: int):
 @partial(
     jax.jit,
     static_argnames=(
-        "height", "width", "spp", "max_bounces", "tile", "interpret", "rows"
+        "height", "width", "spp", "max_bounces", "tile", "interpret", "rows",
+        "jitter",
     ),
 )
 def render_pallas(
@@ -557,12 +585,15 @@ def render_pallas(
     interpret: bool = False,
     row_start=0,
     rows: int | None = None,
+    jitter: bool = False,
 ):
     """Radiance image (rows, W, 3) f32 via the Pallas megakernel.
 
     ``height`` is the full image height (NDC mapping); ``row_start``/
     ``rows`` select a row block — the unit of image sharding, with
     global-index RNG like the core path. Block dims must divide the tile.
+    ``jitter=True`` draws per-sample sub-pixel offsets (anti-aliasing),
+    matching ``render_tile(jitter=True)`` bit-for-bit in draw order.
     ``interpret=True`` runs the kernel in interpreter mode for CPU-side
     validation.
     """
@@ -586,6 +617,7 @@ def render_pallas(
         n_mat=scene.num_materials,
         spp=spp,
         max_bounces=max_bounces,
+        jitter=jitter,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     par_i = jnp.stack(
@@ -616,21 +648,29 @@ def render_pallas(
 
 @partial(
     jax.custom_vjp,
-    nondiff_argnums=(2, 3, 4, 5),
+    nondiff_argnums=(2, 3, 4, 5, 6, 7),
 )
-def render_pallas_vjp(scene, camera, height, width, spp, max_bounces, seed):
-    """Differentiable fast render: megakernel forward, XLA-AD backward.
+def _render_pallas_vjp(
+    scene, camera, height, width, spp, max_bounces, rows, jitter,
+    seed, sample_offset, row_start,
+):
+    return render_pallas(
+        scene, camera, height, width, spp, max_bounces, seed,
+        sample_offset=sample_offset, row_start=row_start, rows=rows,
+        jitter=jitter,
+    )
 
-    Forward and backward consume identical RNG streams (same counter
-    seeding), so the backward is the exact VJP of the forward estimator up
-    to f32 rounding between the two implementations.
-    """
-    return render_pallas(scene, camera, height, width, spp, max_bounces, seed)
 
-
-def _fwd(scene, camera, height, width, spp, max_bounces, seed):
-    out = render_pallas(scene, camera, height, width, spp, max_bounces, seed)
-    return out, (scene, camera, seed)
+def _fwd(
+    scene, camera, height, width, spp, max_bounces, rows, jitter,
+    seed, sample_offset, row_start,
+):
+    out = render_pallas(
+        scene, camera, height, width, spp, max_bounces, seed,
+        sample_offset=sample_offset, row_start=row_start, rows=rows,
+        jitter=jitter,
+    )
+    return out, (scene, camera, seed, sample_offset, row_start)
 
 
 def _float0_ints(cotangent, primal):
@@ -646,20 +686,46 @@ def _float0_ints(cotangent, primal):
     return jax.tree_util.tree_map(fix, cotangent, primal)
 
 
-def _bwd(height, width, spp, max_bounces, res, g):
+def _bwd(height, width, spp, max_bounces, rows, jitter, res, g):
     from .pallas_grad import render_pallas_bwd
 
-    scene, camera, seed = res
+    scene, camera, seed, sample_offset, row_start = res
     # Hand-written suffix-sweep kernel (see pallas_grad.py): exact VJP of
     # the estimator at megakernel speed. Camera cotangents are exactly
     # zero (radiance is piecewise-constant in camera parameters under this
     # shading model, like geometry — grad/diff.py).
     d_scene = render_pallas_bwd(
-        scene, camera, g, height, width, spp, max_bounces, seed
+        scene, camera, g, height, width, spp, max_bounces, seed,
+        sample_offset=sample_offset, row_start=row_start, rows=rows,
+        jitter=jitter,
     )
     d_scene = _float0_ints(d_scene, scene)
     d_camera = jax.tree_util.tree_map(jnp.zeros_like, camera)
-    return d_scene, d_camera, None
+    return d_scene, d_camera, None, None, None
 
 
-render_pallas_vjp.defvjp(_fwd, _bwd)
+_render_pallas_vjp.defvjp(_fwd, _bwd)
+
+
+def render_pallas_vjp(
+    scene, camera, height, width, spp, max_bounces, seed,
+    sample_offset=0, row_start=0, rows: int | None = None,
+    jitter: bool = False,
+):
+    """Differentiable fast render: megakernel forward, hand-written Pallas
+    backward (ops/pallas_grad.py).
+
+    Forward and backward consume identical RNG streams (same counter
+    seeding), so the backward is the exact VJP of the forward estimator up
+    to f32 rounding between the two implementations. ``row_start`` /
+    ``rows`` / ``sample_offset`` make this shardable under ``shard_map``
+    (parallel/render.py) — the backward kernel replays the same global
+    pixel/sample indices per shard.
+    """
+    rows = height if rows is None else rows
+    return _render_pallas_vjp(
+        scene, camera, height, width, spp, max_bounces, rows, jitter,
+        jnp.asarray(seed, jnp.uint32),
+        jnp.asarray(sample_offset, jnp.int32),
+        jnp.asarray(row_start, jnp.int32),
+    )

@@ -72,15 +72,19 @@ def render_sharded(
     the glReadPixels analog) only at the output boundary.
 
     ``engine="pallas"`` runs the megakernel per shard (the fast multi-chip
-    path; requires the row block divisible by the kernel tile and no
-    jitter); RNG keys on global indices either way, so both engines and
-    any mesh shape agree.
+    path, differentiable through the hand-written backward kernel — the
+    gradient psum from shard_map's transpose overlaps with the other
+    shards' backward work); ``engine="physical"`` runs the physical
+    BRDF/NEE tier per shard. RNG keys on global indices in every engine,
+    so all engines and any mesh shape agree with their unsharded renders.
     """
     rows_local, spp_local = _check_divisible(height, spp, mesh)
     if engine == "pallas":
-        if jitter:
-            raise ValueError("pallas engine has no jitter path yet")
-        from ..ops.pallas_kernels import render_pallas
+        from ..ops.pallas_kernels import render_pallas_vjp
+    elif engine == "physical":
+        from ..models.physical import render_physical
+    elif engine != "core":
+        raise ValueError(f"unknown engine {engine!r}")
 
     # check_vma off: the bounce-scan carry starts replicated (camera rays)
     # and becomes varying over (tile, spp) after one step, which the strict
@@ -97,7 +101,7 @@ def render_sharded(
         ti = jax.lax.axis_index(TILE_AXIS)
         si = jax.lax.axis_index(SPP_AXIS)
         if engine == "pallas":
-            img = render_pallas(
+            img = render_pallas_vjp(
                 scene,
                 camera,
                 height,
@@ -105,6 +109,22 @@ def render_sharded(
                 spp_local,
                 max_bounces,
                 seed,
+                sample_offset=si * spp_local,
+                row_start=ti * rows_local,
+                rows=rows_local,
+                jitter=jitter,
+            )
+        elif engine == "physical":
+            img = render_physical(
+                scene,
+                camera,
+                height,
+                width,
+                spp_local,
+                max_bounces,
+                seed,
+                jitter=jitter,
+                remat=remat,
                 sample_offset=si * spp_local,
                 row_start=ti * rows_local,
                 rows=rows_local,
@@ -138,6 +158,7 @@ def make_train_step(
     mesh: Mesh,
     optimizer,
     param_fns,
+    engine: str = "core",
 ):
     """Build a jitted sharded inverse-rendering train step.
 
@@ -148,6 +169,11 @@ def make_train_step(
     gradient ``psum`` over both axes for the replicated scene — and
     applies an optax update. Returns ``step(params, opt_state, scene0,
     target, seed) -> (params, opt_state, loss)``.
+
+    ``engine="pallas"`` runs BOTH directions through the Pallas kernels
+    per shard (megakernel forward + suffix-sweep backward,
+    ops/pallas_grad.py) — the fast multi-chip training path; XLA overlaps
+    each shard's gradient psum with the remaining backward work.
     """
     apply_params = param_fns
 
@@ -161,7 +187,8 @@ def make_train_step(
             max_bounces,
             seed,
             mesh,
-            remat=True,
+            remat=engine == "core",
+            engine=engine,
         )
         return jnp.mean((img - target) ** 2)
 

@@ -17,14 +17,15 @@ from path_tracer_c_tpu.ops.pallas_kernels import render_pallas, render_pallas_vj
 CAM = pt.Camera.reference()
 
 
-def _compare(scene, h, w, spp, bounces, seed, tile):
+def _compare(scene, h, w, spp, bounces, seed, tile, jitter=False):
     core = np.asarray(
-        pt.render_radiance(scene, CAM, h, w, spp, bounces, jnp.uint32(seed))
+        pt.render_radiance(scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+                           jitter=jitter)
     )
     fast = np.asarray(
         render_pallas(
             scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
-            tile=tile, interpret=True,
+            tile=tile, interpret=True, jitter=jitter,
         )
     )
     err = np.abs(core - fast)
@@ -47,6 +48,26 @@ def test_pallas_matches_core_cornell():
 def test_pallas_tile_grid_cov():
     """Multiple tiles in both grid dimensions."""
     _compare(demo.diffuse_sphere_scene(), 32, 256, 1, 2, 9, tile=(16, 128))
+
+
+def test_pallas_matches_core_jitter():
+    """Anti-aliasing jitter: per-sample sub-pixel rays, same draw order as
+    primary_rays(jitter_state) — the config-5 quality path on the fast
+    kernel."""
+    _compare(demo.demo_scene(), 16, 128, 2, 3, 21, tile=(8, 128),
+             jitter=True)
+
+
+def test_pallas_jitter_differs_from_centered():
+    fast = render_pallas(
+        demo.demo_scene(), CAM, 8, 128, 2, 2, jnp.uint32(3),
+        tile=(8, 128), interpret=True, jitter=True,
+    )
+    centered = render_pallas(
+        demo.demo_scene(), CAM, 8, 128, 2, 2, jnp.uint32(3),
+        tile=(8, 128), interpret=True,
+    )
+    assert np.abs(np.asarray(fast) - np.asarray(centered)).max() > 1e-4
 
 
 def test_pallas_divisibility_error():

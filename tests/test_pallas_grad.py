@@ -33,18 +33,19 @@ def _mixed_scene():
     return b.build()
 
 
-def _compare(scene, h, w, spp, bounces, seed, gseed):
+def _compare(scene, h, w, spp, bounces, seed, gseed, tile=(8, 128),
+             jitter=False):
     g = jnp.asarray(
         np.random.default_rng(gseed).standard_normal((h, w, 3)), jnp.float32
     )
     _, vjp = jax.vjp(
         lambda sc: pt.render_radiance(sc, CAM, h, w, spp, bounces,
-                                      jnp.uint32(seed)),
+                                      jnp.uint32(seed), jitter=jitter),
         scene,
     )
     d_core = vjp(g)[0]
     d_hand = render_pallas_bwd(scene, CAM, g, h, w, spp, bounces,
-                               jnp.uint32(seed), tile=(8, 128))
+                               jnp.uint32(seed), tile=tile, jitter=jitter)
     pairs = [
         (d_hand.materials.albedo, d_core.materials.albedo),
         (d_hand.materials.emission_color, d_core.materials.emission_color),
@@ -74,6 +75,79 @@ def test_bwd_matches_core_demo():
 
 def test_bwd_matches_core_cornell():
     _compare(demo.cornell_spheres_scene(), 8, 128, 2, 3, seed=5, gseed=2)
+
+
+def _black_albedo_scene():
+    """Camera inside an exactly-black sphere (ADVICE r1 high): the lane's
+    throughput hits exact zero at bounce 0, but d_albedo there needs the
+    suffix carry from the *untraced future* path — a replay that exits on
+    zero throughput gets it ~2x wrong."""
+    b = pt.SceneBuilder(sky_color=(0.8, 0.6, 0.4))
+    black = b.add_material(albedo=(0.0, 0.0, 0.0), roughness=0.7,
+                           emission_color=(1.0, 0.9, 0.8),
+                           emission_strength=0.5)
+    b.add_sphere(center=(0.0, 0.0, 0.0), radius=5.0, material=black)
+    return b.build()
+
+
+def test_bwd_matches_core_black_albedo():
+    _compare(_black_albedo_scene(), 8, 128, 2, 4, seed=11, gseed=3)
+
+
+def test_bwd_matches_core_black_albedo_mixed():
+    """Black material mixed into a scene with live paths around it."""
+    scene = _mixed_scene()
+    import dataclasses
+
+    mats = scene.materials
+    scene = dataclasses.replace(
+        scene,
+        materials=dataclasses.replace(
+            mats, albedo=mats.albedo.at[2].set(0.0)
+        ),
+    )
+    _compare(scene, 8, 128, 3, 4, seed=13, gseed=4)
+
+
+def test_bwd_matches_core_jitter():
+    """Anti-aliased (per-sample sub-pixel ray) backward replay."""
+    _compare(_mixed_scene(), 8, 128, 2, 3, seed=17, gseed=5, jitter=True)
+
+
+def test_bwd_tile_fallback_odd_height():
+    """Heights not divisible by the default (64, 128) tile auto-shrink
+    instead of raising (ADVICE r1 medium)."""
+    _compare(_mixed_scene(), 24, 128, 2, 3, seed=19, gseed=6,
+             tile=(64, 128))
+
+
+def test_bwd_row_block_matches_full():
+    """row_start/rows: per-block backward sums to the full-image VJP."""
+    scene = _mixed_scene()
+    h, w, spp, bounces, seed = 16, 128, 2, 3, 23
+    g = jnp.asarray(
+        np.random.default_rng(7).standard_normal((h, w, 3)), jnp.float32
+    )
+    d_full = render_pallas_bwd(scene, CAM, g, h, w, spp, bounces,
+                               jnp.uint32(seed), tile=(8, 128))
+    d_top = render_pallas_bwd(scene, CAM, g[:8], h, w, spp, bounces,
+                              jnp.uint32(seed), tile=(8, 128),
+                              row_start=0, rows=8)
+    d_bot = render_pallas_bwd(scene, CAM, g[8:], h, w, spp, bounces,
+                              jnp.uint32(seed), tile=(8, 128),
+                              row_start=8, rows=8)
+    for get in (
+        lambda d: d.materials.albedo,
+        lambda d: d.materials.emission_color,
+        lambda d: d.materials.emission_strength,
+        lambda d: d.materials.transparency,
+        lambda d: d.sky_color,
+    ):
+        np.testing.assert_allclose(
+            np.asarray(get(d_top)) + np.asarray(get(d_bot)),
+            np.asarray(get(d_full)),
+            rtol=1e-5, atol=1e-7,
+        )
 
 
 def test_vjp_wrapper_uses_hand_kernel():

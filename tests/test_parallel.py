@@ -172,3 +172,54 @@ def test_sharded_pallas_engine_matches_core(scene):
         )
     )
     np.testing.assert_allclose(fast, core, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_pallas_gradient_matches_unsharded_core(scene):
+    """The fast multi-chip backward: Pallas fwd + hand-written bwd kernel
+    per shard, gradients psummed by shard_map's transpose, vs the
+    unsharded core-AD gradient (VERDICT r1 item 2)."""
+    import dataclasses
+
+    h, w, spp, bounces = 16, 128, 4, 2
+    target = pt.render_radiance(scene, CAM, h, w, spp, bounces, jnp.uint32(77))
+    mesh = parallel.make_mesh(tile=2, spp=4)
+
+    def loss_sharded_pallas(albedo):
+        sc = dataclasses.replace(
+            scene, materials=dataclasses.replace(scene.materials, albedo=albedo)
+        )
+        img = parallel.render_sharded(
+            sc, CAM, h, w, spp, bounces, jnp.uint32(3), mesh, engine="pallas"
+        )
+        return jnp.mean((img - target) ** 2)
+
+    def loss_single_core(albedo):
+        sc = dataclasses.replace(
+            scene, materials=dataclasses.replace(scene.materials, albedo=albedo)
+        )
+        img = pt.render_radiance(sc, CAM, h, w, spp, bounces, jnp.uint32(3))
+        return jnp.mean((img - target) ** 2)
+
+    a0 = scene.materials.albedo
+    g_fast = np.asarray(jax.grad(loss_sharded_pallas)(a0))
+    g_core = np.asarray(jax.grad(loss_single_core)(a0))
+    np.testing.assert_allclose(g_fast, g_core, rtol=1e-3, atol=1e-7)
+
+
+def test_sharded_physical_engine_matches_unsharded(scene):
+    """Physical BRDF/NEE tier under a mesh == its unsharded render."""
+    from path_tracer_c_tpu.models.physical import render_physical
+
+    h, w, spp, bounces = 16, 16, 4, 2
+    scene_l = demo.cornell_spheres_scene()
+    single = np.asarray(
+        render_physical(scene_l, CAM, h, w, spp, bounces, jnp.uint32(5))
+    )
+    mesh = parallel.make_mesh(tile=4, spp=2)
+    sharded = np.asarray(
+        parallel.render_sharded(
+            scene_l, CAM, h, w, spp, bounces, jnp.uint32(5), mesh,
+            engine="physical", jitter=True,
+        )
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
