@@ -90,13 +90,13 @@ def main():
     rays = rays_per_render(H, W, SPP, BOUNCES)
     fwd_rps = rays / fwd_s
 
-    # fwd+bwd: gradient of pixel loss w.r.t. the scene via the Pallas
-    # forward + hand-written suffix-sweep backward kernel (ops/pallas_grad).
-    # Rays metric counts forward trace rounds; the backward replays them
-    # once more, so wall time covers ~2 forward-equivalents.
+    # fwd+bwd at the FULL baseline spp: gradient of pixel loss w.r.t. the
+    # scene via the Pallas forward + hand-written suffix-sweep backward
+    # kernel (ops/pallas_grad). Rays metric counts forward trace rounds;
+    # the backward replays them once more, so wall time covers ~2
+    # forward-equivalents.
     from path_tracer_c_tpu.ops.pallas_kernels import render_pallas_vjp
 
-    SPP_B = max(SPP // 4, 1)
     # target from the already-compiled forward engine (new seed)
     target = jax.block_until_ready(
         render_pallas(scene, cam, H, W, SPP, BOUNCES, jnp.uint32(424242))
@@ -109,6 +109,7 @@ def main():
             sc, c, h, w, sp, b, sd, remat=True
         )
     )
+    SPP_B = SPP if on_tpu else max(SPP // 4, 1)
     grad_fn2 = jax.jit(
         jax.grad(
             lambda sc, sd: jnp.mean(
@@ -136,6 +137,25 @@ def main():
     bwd_s = sorted(times)[len(times) // 2]
     bwd_rps = rays_per_render(H, W, SPP_B, BOUNCES) / bwd_s
 
+    # physical tier (BASELINE config 3's importance-sampled BRDF + NEE):
+    # the Pallas physical megakernel. Each bounce runs a path trace AND a
+    # NEE shadow trace; the rays metric still counts path trace rounds.
+    from path_tracer_c_tpu.ops.pallas_physical import render_physical_pallas
+
+    def phys(s):
+        return render_physical_pallas(scene, cam, H, W, SPP, BOUNCES, s)
+
+    log("compiling physical kernel")
+    float(force(phys(jnp.uint32(100))))
+    log("physical compiled; timing")
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        float(force(phys(jnp.uint32(i + 51))))
+        times.append(time.perf_counter() - t0)
+    phys_s = sorted(times)[len(times) // 2]
+    phys_rps = rays / phys_s
+
     print(
         json.dumps(
             {
@@ -148,6 +168,8 @@ def main():
                     "fwd_bwd_rays_per_sec": round(bwd_rps, 1),
                     "fwd_bwd_seconds": round(bwd_s, 4),
                     "fwd_bwd_spp": SPP_B,
+                    "physical_rays_per_sec": round(phys_rps, 1),
+                    "physical_seconds": round(phys_s, 4),
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                     "baseline_assumed_rays_per_sec": BASELINE_RAYS_PER_SEC,

@@ -72,6 +72,17 @@ def _render_once(scene, camera, cfg, seed, sample_offset=0):
             jnp.uint32(seed), mesh, jitter=cfg.jitter, engine=cfg.engine,
         )
     if cfg.engine == "physical":
+        th = min(cfg.tile_h, cfg.height)
+        tw = min(cfg.tile_w, cfg.width)
+        if cfg.height % th == 0 and cfg.width % tw == 0:
+            from ..ops.pallas_physical import render_physical_pallas
+
+            return render_physical_pallas(
+                scene, camera, cfg.height, cfg.width, cfg.spp,
+                cfg.max_bounces, jnp.uint32(seed),
+                sample_offset=sample_offset, tile=(th, tw),
+                jitter=cfg.jitter,
+            )
         from ..models.physical import render_physical
 
         return render_physical(

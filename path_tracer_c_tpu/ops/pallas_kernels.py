@@ -68,10 +68,15 @@ def _pcg(state):
 
 
 def _u32_to_f32(bits):
-    # Mosaic has no uint32->f32 cast; go through int32 and fix the sign.
-    i = pltpu.bitcast(bits, jnp.int32)
-    f = i.astype(jnp.float32)
-    return jnp.where(i < 0, f + np.float32(4294967296.0), f)
+    # Mosaic has no uint32->f32 cast. Split into a 23-bit high part and a
+    # 9-bit low part — both exact in f32 — and recombine with ONE rounding
+    # add: bit-identical to XLA's direct round-to-nearest uint32->f32
+    # cast, i.e. to ops/rng.uniform. (An int32 detour with a +2^32 sign
+    # fixup double-rounds and diverges from the core stream by 1 ulp on
+    # ~2% of draws >= 2^31 — enough to flip NEE visibility decisions.)
+    hi = pltpu.bitcast(bits >> 9, jnp.int32).astype(jnp.float32)
+    lo = pltpu.bitcast(bits & _u32(0x1FF), jnp.int32).astype(jnp.float32)
+    return hi * np.float32(512.0) + lo
 
 
 def _uniform(state):
@@ -104,16 +109,77 @@ def make_geometry(
 ):
     """Build the per-tile (closest_hit, shade) routines over SMEM scene refs.
 
-    ``closest_hit`` is shared by the forward megakernel and the backward
-    replay kernel (pallas_grad.py) — they MUST be the same code: the
-    backward replays the forward's paths, and any numeric drift between
-    the two breaks the replay's discrete decisions. ``sky`` is a tuple of
-    three scalars.
+    ``closest_hit`` is shared by the forward megakernel, the backward
+    replay kernel (pallas_grad.py) and the physical-tier kernels
+    (pallas_physical.py) — they MUST be the same code: the backward
+    replays the forward's paths, and any numeric drift between the two
+    breaks the replay's discrete decisions. ``sky`` is a tuple of three
+    scalars. Returns ``(closest_hit, fetch_materials, shade)`` with two
+    extra routines reachable as attributes on ``closest_hit``:
+    ``closest_hit.kind`` (also returns a sphere-winner 0/1 plane, for the
+    physical tier's NEE single-counting) and ``closest_hit.closest_t``
+    (distance-only query for shadow rays).
     """
     sky_r, sky_g, sky_b = sky
     zero = jnp.zeros((th, tw), jnp.float32)
 
-    def closest_hit(ox, oy, oz, dx, dy, dz):
+    def sph_t(i, ox, oy, oz, dx, dy, dz, dd, invdd):
+        """One sphere's hit distance plane (INF-masked) + its center.
+
+        Half-b quadratic: with h = oc.d, det/4 = h^2 - dd*cq has the same
+        sign as the full discriminant and the same roots — two multiplies
+        cheaper per sphere than the textbook form."""
+        cx, cy, cz = sph_c[i, 0], sph_c[i, 1], sph_c[i, 2]
+        r = sph_r[i, 0]
+        act = sph_a[i, 0]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        h = ocx * dx + ocy * dy + ocz * dz
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        det = h * h - dd * cq
+        sq = jnp.sqrt(jnp.maximum(det, 0.0))
+        t1 = (-h - sq) * invdd
+        t2 = (-h + sq) * invdd
+        t = jnp.where(t1 >= 0.0, t1, jnp.where(t2 >= 0.0, t2, _INF))
+        t = jnp.where((det >= 0.0) & (act > 0.0), t, _INF)
+        return t, cx, cy, cz
+
+    def tri_t(i, ox, oy, oz, dx, dy, dz):
+        """One triangle's Möller–Trumbore hit distance plane (INF-masked)."""
+        v0x, v0y, v0z = tri_v0[i, 0], tri_v0[i, 1], tri_v0[i, 2]
+        e1x = tri_v1[i, 0] - v0x
+        e1y = tri_v1[i, 1] - v0y
+        e1z = tri_v1[i, 2] - v0z
+        e2x = tri_v2[i, 0] - v0x
+        e2y = tri_v2[i, 1] - v0y
+        e2z = tri_v2[i, 2] - v0z
+        act = tri_a[i, 0]
+        # rce = cross(d, e2)
+        rcx = dy * e2z - dz * e2y
+        rcy = dz * e2x - dx * e2z
+        rcz = dx * e2y - dy * e2x
+        det = e1x * rcx + e1y * rcy + e1z * rcz
+        nonpar = jnp.abs(det) >= _TRI_EPS
+        inv = 1.0 / jnp.where(nonpar, det, 1.0)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = inv * (sx * rcx + sy * rcy + sz * rcz)
+        # sce = cross(s, e1)
+        scx = sy * e1z - sz * e1y
+        scy = sz * e1x - sx * e1z
+        scz = sx * e1y - sy * e1x
+        v = inv * (dx * scx + dy * scy + dz * scz)
+        t = inv * (e2x * scx + e2y * scy + e2z * scz)
+        ok = (
+            nonpar
+            & (u >= _TRI_EPS)
+            & (u <= 1.0)
+            & (v >= _TRI_EPS)
+            & (u + v <= 1.0)
+            & (t >= _TRI_EPS)
+            & (act > 0.0)
+        )
+        return jnp.where(ok, t, _INF)
+
+    def _closest_hit(ox, oy, oz, dx, dy, dz, track_kind):
         # -- closest hit: spheres then triangles (rtx_frag.glsl:158-192) --
         best_t = jnp.full((th, tw), _INF)
         mat = jnp.zeros((th, tw), jnp.int32)
@@ -124,27 +190,14 @@ def make_geometry(
         bcx = zero
         bcy = zero
         bcz = zero
+        sphm = zero  # 1.0 where the winner is a sphere (track_kind only)
 
         dd = dx * dx + dy * dy + dz * dz
         invdd = 1.0 / dd
 
         def sph_body(i, c):
-            bt, bcx, bcy, bcz, mat = c
-            cx, cy, cz = sph_c[i, 0], sph_c[i, 1], sph_c[i, 2]
-            r = sph_r[i, 0]
-            act = sph_a[i, 0]
-            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-            # Half-b quadratic: with h = oc.d, det/4 = h^2 - dd*cq has the
-            # same sign as the full discriminant and the same roots — two
-            # multiplies cheaper per sphere than the textbook form.
-            h = ocx * dx + ocy * dy + ocz * dz
-            cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-            det = h * h - dd * cq
-            sq = jnp.sqrt(jnp.maximum(det, 0.0))
-            t1 = (-h - sq) * invdd
-            t2 = (-h + sq) * invdd
-            t = jnp.where(t1 >= 0.0, t1, jnp.where(t2 >= 0.0, t2, _INF))
-            t = jnp.where((det >= 0.0) & (act > 0.0), t, _INF)
+            bt, bcx, bcy, bcz, mat, sphm = c
+            t, cx, cy, cz = sph_t(i, ox, oy, oz, dx, dy, dz, dd, invdd)
             upd = t < bt
             return (
                 jnp.where(upd, t, bt),
@@ -152,10 +205,11 @@ def make_geometry(
                 jnp.where(upd, cy, bcy),
                 jnp.where(upd, cz, bcz),
                 jnp.where(upd, sph_m[i, 0], mat),
+                jnp.where(upd, 1.0, sphm) if track_kind else sphm,
             )
 
-        best_t, bcx, bcy, bcz, mat = jax.lax.fori_loop(
-            0, n_sph, sph_body, (best_t, bcx, bcy, bcz, mat)
+        best_t, bcx, bcy, bcz, mat, sphm = jax.lax.fori_loop(
+            0, n_sph, sph_body, (best_t, bcx, bcy, bcz, mat, sphm)
         )
         ts = jnp.where(best_t < _INF, best_t, 0.0)  # keep NaNs off miss lanes
         hx = ox + ts * dx - bcx
@@ -167,40 +221,8 @@ def make_geometry(
         nz = hz * hn
 
         def tri_body(i, c):
-            bt, nx, ny, nz, mat = c
-            v0x, v0y, v0z = tri_v0[i, 0], tri_v0[i, 1], tri_v0[i, 2]
-            e1x = tri_v1[i, 0] - v0x
-            e1y = tri_v1[i, 1] - v0y
-            e1z = tri_v1[i, 2] - v0z
-            e2x = tri_v2[i, 0] - v0x
-            e2y = tri_v2[i, 1] - v0y
-            e2z = tri_v2[i, 2] - v0z
-            act = tri_a[i, 0]
-            # rce = cross(d, e2)
-            rcx = dy * e2z - dz * e2y
-            rcy = dz * e2x - dx * e2z
-            rcz = dx * e2y - dy * e2x
-            det = e1x * rcx + e1y * rcy + e1z * rcz
-            nonpar = jnp.abs(det) >= _TRI_EPS
-            inv = 1.0 / jnp.where(nonpar, det, 1.0)
-            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-            u = inv * (sx * rcx + sy * rcy + sz * rcz)
-            # sce = cross(s, e1)
-            scx = sy * e1z - sz * e1y
-            scy = sz * e1x - sx * e1z
-            scz = sx * e1y - sy * e1x
-            v = inv * (dx * scx + dy * scy + dz * scz)
-            t = inv * (e2x * scx + e2y * scy + e2z * scz)
-            ok = (
-                nonpar
-                & (u >= _TRI_EPS)
-                & (u <= 1.0)
-                & (v >= _TRI_EPS)
-                & (u + v <= 1.0)
-                & (t >= _TRI_EPS)
-                & (act > 0.0)
-            )
-            t = jnp.where(ok, t, _INF)
+            bt, nx, ny, nz, mat, sphm = c
+            t = tri_t(i, ox, oy, oz, dx, dy, dz)
             upd = t < bt
             # Face normal flipped to oppose the ray (rtx_frag.glsl:186).
             fnx, fny, fnz = tri_n[i, 0], tri_n[i, 1], tri_n[i, 2]
@@ -211,12 +233,41 @@ def make_geometry(
                 jnp.where(upd, s * fny, ny),
                 jnp.where(upd, s * fnz, nz),
                 jnp.where(upd, tri_m[i, 0], mat),
+                jnp.where(upd, 0.0, sphm) if track_kind else sphm,
             )
 
-        best_t, nx, ny, nz, mat = jax.lax.fori_loop(
-            0, n_tri, tri_body, (best_t, nx, ny, nz, mat)
+        best_t, nx, ny, nz, mat, sphm = jax.lax.fori_loop(
+            0, n_tri, tri_body, (best_t, nx, ny, nz, mat, sphm)
         )
+        if track_kind:
+            return best_t, nx, ny, nz, mat, sphm
         return best_t, nx, ny, nz, mat
+
+    def closest_hit(ox, oy, oz, dx, dy, dz):
+        return _closest_hit(ox, oy, oz, dx, dy, dz, track_kind=False)
+
+    def closest_hit_kind(ox, oy, oz, dx, dy, dz):
+        return _closest_hit(ox, oy, oz, dx, dy, dz, track_kind=True)
+
+    def closest_t(ox, oy, oz, dx, dy, dz):
+        """Distance-only closest hit (shadow/occlusion query): the same
+        per-object t math as closest_hit, skipping normals and argmin
+        metadata — ~half the selects per object."""
+        dd = dx * dx + dy * dy + dz * dz
+        invdd = 1.0 / dd
+
+        def sph_body(i, bt):
+            t, _, _, _ = sph_t(i, ox, oy, oz, dx, dy, dz, dd, invdd)
+            return jnp.minimum(bt, t)
+
+        def tri_body(i, bt):
+            return jnp.minimum(bt, tri_t(i, ox, oy, oz, dx, dy, dz))
+
+        best_t = jax.lax.fori_loop(0, n_sph, sph_body, jnp.full((th, tw), _INF))
+        return jax.lax.fori_loop(0, n_tri, tri_body, best_t)
+
+    closest_hit.kind = closest_hit_kind
+    closest_hit.closest_t = closest_t
 
     def fetch_materials(mat):
         """Material planes by index (uniform materials[] analog): one

@@ -39,7 +39,7 @@ class RenderConfig:
     seed: int = 0
     scene: str = "demo"  # name in scene.demo or a scene JSON path
     jitter: bool = False  # reference shoots identical primary rays
-    engine: str = "pallas"  # "pallas" | "core"
+    engine: str = "pallas"  # "pallas" | "core" | "physical"
     tile_h: int = 128
     tile_w: int = 128
     output: str = "output.bmp"  # src/main.c:329
