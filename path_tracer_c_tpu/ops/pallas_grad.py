@@ -432,14 +432,16 @@ def _bwd_kernel(
         out_ref[n_mat, c] = out_ref[n_mat, c] + jnp.sum(sky_acc[c])
 
 
-def _fit_tile(rows, width, tile, n_mat, max_bounces):
+def _fit_tile(rows, width, tile, n_mat, max_bounces, bounce_planes=8):
     """Largest kernel tile that (a) divides the row block / width, and
     (b) keeps the backward's VMEM scratch within budget.
 
-    The scratch is ``th*tw*4 * ((B+1)*8 + n_mat*8 + 3)`` bytes (prefix +
-    mask + mat stores plus the per-material accumulator planes) — note the
-    ``n_mat`` term: many-material scenes must shrink the tile or blow the
-    ~16 MB VMEM budget. Tile heights prefer multiples of 8 (f32 sublane).
+    The scratch is ``th*tw*4 * ((B+1)*bounce_planes + n_mat*8 + 3)`` bytes
+    (per-bounce replay stores plus the per-material accumulator planes) —
+    note the ``n_mat`` term: many-material scenes must shrink the tile or
+    blow the ~16 MB VMEM budget. Tile heights prefer multiples of 8 (f32
+    sublane). ``bounce_planes`` is 8 for the reference-tier backward and
+    15 for the physical tier's (which also stores NEE data).
     """
     th0, tw0 = tile
     tw = min(tw0, width)
@@ -455,7 +457,9 @@ def _fit_tile(rows, width, tile, n_mat, max_bounces):
 
     th = divisor_leq(rows, min(th0, rows))
     budget = 10 * 2**20  # leave headroom for g tile + compiler temps
-    scratch = lambda t: t * tw * 4 * ((max_bounces + 1) * 8 + n_mat * 8 + 3)
+    scratch = lambda t: t * tw * 4 * (
+        (max_bounces + 1) * bounce_planes + n_mat * 8 + 3
+    )
     while th > 1 and scratch(th) > budget:
         th = divisor_leq(rows, max(th // 2, 1))
         if scratch(th) > budget and th == 1:

@@ -1,4 +1,4 @@
-"""Pallas TPU megakernel for the physical shading tier (BRDF + NEE).
+"""Pallas TPU megakernels for the physical shading tier (BRDF + NEE).
 
 The fast path for BASELINE config 3's "importance-sampled BRDF": the same
 estimator as ``models/physical.py`` (cosine-weighted diffuse lobe, mirror
@@ -16,6 +16,25 @@ query for NEE visibility. RNG is the physical tier's fixed 7-draw
 schedule (u_transp, u_lobe, 2 BSDF, 1 emitter pick, 2 cone draws) on the
 same PCG streams as the core path, so interpreter-mode renders match
 ``render_physical`` to f32 rounding.
+
+**Backward** (``render_physical_pallas_bwd``): per sample the radiance is
+
+    total[c] = sum_b P_b[c]*E_b[c]*addle_b
+             + sum_b P_b[c]*(albedo_b[c]/pi)*le_b[c]*w_b*valid_b
+             + P_end[c]*sky[c]
+
+with ``P_b`` the albedo prefix product, ``E_b`` the hit emission,
+``w_b = cos_surf/pdf * n_em`` the NEE geometry weight. All *material*
+dependence (albedo, emission, transparency via the ratio
+reparameterization, sky) is a prefix/suffix product structure, so the VJP
+runs as a replay + suffix sweep like the reference tier's
+``pallas_grad.py``, extended with the NEE contribution and emitter-
+emission terms. **Geometry cotangents are ZERO by contract**: the
+physical tier's true geometry gradients flow through hit points, normals
+and the cone weight — a full-path AD quantity with no suffix-product
+structure — so geometry fits must use the core path
+(``models/physical.render_physical`` under ``jax.grad``); material and
+sky cotangents here match core AD (tests/test_pallas_physical.py).
 
 The emissive-sphere table (cumulative emitter count + per-sphere
 premultiplied radiance) is built host-side from the scene and shipped as
@@ -38,11 +57,21 @@ from ..scene.scene import Scene
 from ..ops.camera import Camera
 from ..models.integrator import DEFAULT_EPS_OFFSET, EPS_OFFSET_SCALE
 from . import pallas_kernels as fk
+from .pallas_grad import _fit_tile
 
-__all__ = ["render_physical_pallas"]
+__all__ = [
+    "render_physical_pallas",
+    "render_physical_pallas_bwd",
+    "render_physical_pallas_vjp",
+]
 
 _INV_PI = np.float32(1.0 / math.pi)
 _TWO_PI = np.float32(2.0 * math.pi)
+
+# Backward tile: the replay stores 15 planes per bounce (see
+# _phys_bwd_kernel scratch) so the default tile is half the forward's.
+PHYS_BWD_TILE = (32, 128)
+_PHYS_BOUNCE_PLANES = 15
 
 
 def _onb(nx, ny, nz):
@@ -60,67 +89,36 @@ def _onb(nx, ny, nz):
     return (tx, ty, tz), (bx, by, bz)
 
 
-def _phys_kernel(
-    sph_c, sph_r, sph_m, sph_a,
-    tri_v0, tri_v1, tri_v2, tri_n, tri_m, tri_a,
-    m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
-    em_cum,  # (S, 1) int32 cumulative count of emissive spheres
-    le_sph,  # (S, 3) f32 premultiplied emitter radiance (eco * est)
-    par_f,
-    par_i,  # (1, 4) int32: seed, sample_offset, row_start, n_em
-    out_ref,  # (3, TH, TW) VMEM
-    *,
-    th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee,
+def make_physical_shading(
+    sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m, tri_a,
+    m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph, sky,
+    th, tw, n_sph, n_tri, n_mat, n_em, nee,
 ):
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
+    """Build the physical-tier ``bounce`` routine over SMEM scene refs.
 
-    tan2 = par_f[0, 0]
-    aspect = par_f[0, 1]
-    width = par_f[0, 2]
-    height = par_f[0, 3]
-    sky_r, sky_g, sky_b = par_f[0, 4], par_f[0, 5], par_f[0, 6]
-    cox, coy, coz = par_f[0, 7], par_f[0, 8], par_f[0, 9]
-    crx, cry, crz = par_f[0, 10], par_f[0, 11], par_f[0, 12]
-    cux, cuy, cuz = par_f[0, 13], par_f[0, 14], par_f[0, 15]
-    cfx, cfy, cfz = par_f[0, 16], par_f[0, 17], par_f[0, 18]
-    seed = par_i[0, 0].astype(jnp.uint32)
-    sample_offset = par_i[0, 1]
-    row_start = par_i[0, 2]
-    n_em = par_i[0, 3]
+    Shared by the forward megakernel and the backward replay — they MUST
+    be the same code (the backward replays the forward's discrete
+    decisions). ``bounce(state, b=None, store=None)`` advances one bounce;
+    with ``store`` it also calls ``store(b, info)`` where ``info`` holds
+    the per-bounce planes the suffix sweep needs.
+
+    State: (ox,oy,oz, dx,dy,dz, tr,tg,tb, ar,ag,ab, rng, prevd) — all
+    (th, tw) planes; termination is zero throughput; ``prevd`` (f32 0/1)
+    is the diffuse-arrival flag for NEE single-counting.
+    """
+    sky_r, sky_g, sky_b = sky
     n_em_f = n_em.astype(jnp.float32)
     has_em = n_em > 0
-
-    rows = (
-        jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th + row_start
-    )
-    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
-    pix = (rows * width.astype(jnp.int32) + cols).astype(jnp.uint32)
-
-    x = (cols.astype(jnp.float32) + 0.5) / width * 2.0 - 1.0
-    y = -((rows.astype(jnp.float32) + 0.5) / height * 2.0 - 1.0)
-    dcx = x * tan2
-    dcy = y * tan2 / aspect
-    pdx = dcx * crx + dcy * cux + cfx
-    pdy = dcx * cry + dcy * cuy + cfy
-    pdz = dcx * crz + dcy * cuz + cfz
-    pn = jax.lax.rsqrt(pdx * pdx + pdy * pdy + pdz * pdz)
-    pdx, pdy, pdz = pdx * pn, pdy * pn, pdz * pn
-
     zero = jnp.zeros((th, tw), jnp.float32)
     ones = jnp.ones((th, tw), jnp.float32)
 
     closest_hit, _, _ = fk.make_geometry(
         sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
         tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
-        (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat,
+        sky, th, tw, n_sph, n_tri, n_mat,
     )
     closest_hit_kind = closest_hit.kind
     closest_t = closest_hit.closest_t
-
-    cam_ox = jnp.full((th, tw), cox)
-    cam_oy = jnp.full((th, tw), coy)
-    cam_oz = jnp.full((th, tw), coz)
 
     def fetch_materials(mat):
         """Physical-tier material fetch: the reference-tier planes plus the
@@ -152,14 +150,16 @@ def _phys_kernel(
             (alb_r, alb_g, alb_b, em_r, em_g, em_b, est, rgh, trn, ior),
         )
 
-    def bounce(st_):
+    def bounce(st_, b=None, store=None):
         """One physical-tier bounce — the plane-wise port of
         models/physical.trace_paths_physical's ``step`` (same op order,
-        same 7-draw schedule). Termination is zero throughput; ``prevd``
-        (f32 0/1) is the diffuse-arrival flag for NEE single-counting."""
+        same 7-draw schedule)."""
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab, rng, prevd) = st_
         bt, nx, ny, nz, mat, sphm = closest_hit_kind(ox, oy, oz, dx, dy, dz)
         hitm = bt < fk._INF
+
+        # prefix throughput at Le time (the suffix sweep's P_b)
+        P_r, P_g, P_b_ = tr, tg, tb
 
         # miss -> sky, terminate by zeroing throughput
         ar = ar + jnp.where(hitm, 0.0, tr * sky_r)
@@ -251,20 +251,21 @@ def _phys_kernel(
             # pick the k-th emissive sphere, uniform among emitters
             kf = jnp.floor(u_pick * n_em_f).astype(jnp.int32)
             kk = jnp.clip(kf, 0, jnp.maximum(n_em - 1, 0))
-            kk1 = kk  # e_idx = #{i : em_cum[i] <= k} (searchsorted-left)
+            # e_idx = #{i : em_cum[i] <= k} (searchsorted-left)
             e_idx = jnp.zeros((th, tw), jnp.int32)
 
             def cum_body(i, e):
-                return e + jnp.where(em_cum[i, 0] <= kk1, 1, 0)
+                return e + jnp.where(em_cum[i, 0] <= kk, 1, 0)
 
             e_idx = jax.lax.fori_loop(0, n_sph, cum_body, e_idx)
             e_idx = jnp.clip(e_idx, 0, max(n_sph - 1, 0))
 
             cex = zero; cey = zero; cez = zero; rer = zero
             ler = zero; leg = zero; leb = zero
+            emat = jnp.zeros((th, tw), jnp.int32)
 
             def em_body(i, c):
-                cex, cey, cez, rer, ler, leg, leb = c
+                cex, cey, cez, rer, ler, leg, leb, emat = c
                 msk = e_idx == i
                 return (
                     jnp.where(msk, sph_c[i, 0], cex),
@@ -274,10 +275,11 @@ def _phys_kernel(
                     jnp.where(msk, le_sph[i, 0], ler),
                     jnp.where(msk, le_sph[i, 1], leg),
                     jnp.where(msk, le_sph[i, 2], leb),
+                    jnp.where(msk, sph_m[i, 0], emat),
                 )
 
-            cex, cey, cez, rer, ler, leg, leb = jax.lax.fori_loop(
-                0, n_sph, em_body, (cex, cey, cez, rer, ler, leg, leb)
+            cex, cey, cez, rer, ler, leg, leb, emat = jax.lax.fori_loop(
+                0, n_sph, em_body, (cex, cey, cez, rer, ler, leg, leb, emat)
             )
 
             dcx_ = cex - sox
@@ -337,6 +339,29 @@ def _phys_kernel(
             ar = ar + jnp.where(valid, tr * alb_r * _INV_PI * ler * w, 0.0)
             ag = ag + jnp.where(valid, tg * alb_g * _INV_PI * leg * w, 0.0)
             ab = ab + jnp.where(valid, tb * alb_b * _INV_PI * leb * w, 0.0)
+        else:
+            valid = jnp.zeros((th, tw), bool)
+            w = zero
+            ler = zero; leg = zero; leb = zero
+            emat = jnp.zeros((th, tw), jnp.int32)
+
+        if store is not None:
+            store(
+                b,
+                dict(
+                    P=(P_r, P_g, P_b_),
+                    le=(ler, leg, leb),
+                    w=w,
+                    mat=mat,
+                    emat=emat,
+                    hitm=hitm,
+                    missm=~hitm,
+                    tirm=died & hitm,
+                    addle=hitm & ~nee_counted,
+                    valid=valid,
+                    refrm=choose_refr,
+                ),
+            )
 
         # continuing throughput (cos/pdf cancels for the diffuse lobe)
         tr = tr * alb_r
@@ -357,6 +382,75 @@ def _phys_kernel(
         return (nox, noy, noz, ndx, ndy, ndz, tr, tg, tb, ar, ag, ab, rng,
                 prevd)
 
+    return bounce
+
+
+def _camera_setup(par_f, par_i, th, tw, ti, tj):
+    """Shared per-tile camera/pixel decode for both physical kernels."""
+    tan2 = par_f[0, 0]
+    aspect = par_f[0, 1]
+    width = par_f[0, 2]
+    height = par_f[0, 3]
+    row_start = par_i[0, 2]
+    rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th + row_start
+    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
+    pix = (rows * width.astype(jnp.int32) + cols).astype(jnp.uint32)
+    crx, cry, crz = par_f[0, 10], par_f[0, 11], par_f[0, 12]
+    cux, cuy, cuz = par_f[0, 13], par_f[0, 14], par_f[0, 15]
+    cfx, cfy, cfz = par_f[0, 16], par_f[0, 17], par_f[0, 18]
+
+    def ray_dirs(jx, jy):
+        x = (cols.astype(jnp.float32) + jx) / width * 2.0 - 1.0
+        y = -((rows.astype(jnp.float32) + jy) / height * 2.0 - 1.0)
+        dcx = x * tan2
+        dcy = y * tan2 / aspect
+        pdx = dcx * crx + dcy * cux + cfx
+        pdy = dcx * cry + dcy * cuy + cfy
+        pdz = dcx * crz + dcy * cuz + cfz
+        pn = jax.lax.rsqrt(pdx * pdx + pdy * pdy + pdz * pdz)
+        return pdx * pn, pdy * pn, pdz * pn
+
+    return pix, ray_dirs
+
+
+def _phys_kernel(
+    sph_c, sph_r, sph_m, sph_a,
+    tri_v0, tri_v1, tri_v2, tri_n, tri_m, tri_a,
+    m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
+    em_cum,  # (S, 1) int32 cumulative count of emissive spheres
+    le_sph,  # (S, 3) f32 premultiplied emitter radiance (eco * est)
+    par_f,
+    par_i,  # (1, 4) int32: seed, sample_offset, row_start, n_em
+    out_ref,  # (3, TH, TW) VMEM
+    *,
+    th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    sky = (par_f[0, 4], par_f[0, 5], par_f[0, 6])
+    cox, coy, coz = par_f[0, 7], par_f[0, 8], par_f[0, 9]
+    seed = par_i[0, 0].astype(jnp.uint32)
+    sample_offset = par_i[0, 1]
+    n_em = par_i[0, 3]
+
+    pix, ray_dirs = _camera_setup(par_f, par_i, th, tw, ti, tj)
+    zero = jnp.zeros((th, tw), jnp.float32)
+    ones = jnp.ones((th, tw), jnp.float32)
+    if not jitter:
+        pdx, pdy, pdz = ray_dirs(jnp.float32(0.5), jnp.float32(0.5))
+
+    bounce = make_physical_shading(
+        sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
+        tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph,
+        sky, th, tw, n_sph, n_tri, n_mat, n_em, nee,
+    )
+
+    cam_ox = jnp.full((th, tw), cox)
+    cam_oy = jnp.full((th, tw), coy)
+    cam_oz = jnp.full((th, tw), coz)
+
     def sample_body(s, acc):
         acc_r, acc_g, acc_b = acc
         sample = (s + sample_offset).astype(jnp.uint32)
@@ -371,15 +465,7 @@ def _phys_kernel(
         if jitter:
             st, jx = fk._uniform(st)
             st, jy = fk._uniform(st)
-            xj = (cols.astype(jnp.float32) + jx) / width * 2.0 - 1.0
-            yj = -((rows.astype(jnp.float32) + jy) / height * 2.0 - 1.0)
-            djx = xj * tan2
-            djy = yj * tan2 / aspect
-            sdx = djx * crx + djy * cux + cfx
-            sdy = djx * cry + djy * cuy + cfy
-            sdz = djx * crz + djy * cuz + cfz
-            sn = jax.lax.rsqrt(sdx * sdx + sdy * sdy + sdz * sdz)
-            sdx, sdy, sdz = sdx * sn, sdy * sn, sdz * sn
+            sdx, sdy, sdz = ray_dirs(jx, jy)
         else:
             sdx, sdy, sdz = pdx, pdy, pdz
 
@@ -404,9 +490,9 @@ def _phys_kernel(
         _, out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), state0))
         (_, _, _, _, _, _, tr, tg, tb, ar, ag, ab, _, _) = out
         # bounce budget exhausted -> sky
-        ar = ar + tr * sky_r
-        ag = ag + tg * sky_g
-        ab = ab + tb * sky_b
+        ar = ar + tr * sky[0]
+        ag = ag + tg * sky[1]
+        ab = ab + tb * sky[2]
         return (acc_r + ar, acc_g + ag, acc_b + ab)
 
     acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
@@ -414,6 +500,303 @@ def _phys_kernel(
     out_ref[0] = acc[0] * inv
     out_ref[1] = acc[1] * inv
     out_ref[2] = acc[2] * inv
+
+
+def _phys_bwd_kernel(
+    sph_c, sph_r, sph_m, sph_a,
+    tri_v0, tri_v1, tri_v2, tri_n, tri_m, tri_a,
+    m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
+    em_cum, le_sph, par_f, par_i,
+    g_ref,  # (3, TH, TW) cotangent of the radiance image (mean over spp)
+    out_ref,  # (M+1, 8) accumulated cotangents; row M = sky (cols 0..2)
+    # scratch
+    p_store,  # (B+1, 3, TH, TW) prefix throughput at Le time
+    le_store,  # (B+1, 3, TH, TW) sampled-emitter radiance
+    w_store,  # (B+1, TH, TW) NEE geometry weight cos/pdf*n_em
+    mk_store,  # (B+1, 6, TH, TW) masks: hit, miss, tir, addle, valid, refr
+    mat_store,  # (B+1, TH, TW) i32 hit material
+    emat_store,  # (B+1, TH, TW) i32 sampled-emitter material
+    acc,  # (M, 8, TH, TW) per-material cotangent planes
+    sky_acc,  # (3, TH, TW)
+    *,
+    th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    first = (ti == 0) & (tj == 0)
+    sky_r, sky_g, sky_b = par_f[0, 4], par_f[0, 5], par_f[0, 6]
+    cox, coy, coz = par_f[0, 7], par_f[0, 8], par_f[0, 9]
+    seed = par_i[0, 0].astype(jnp.uint32)
+    sample_offset = par_i[0, 1]
+    n_em = par_i[0, 3]
+
+    pix, ray_dirs = _camera_setup(par_f, par_i, th, tw, ti, tj)
+    zero = jnp.zeros((th, tw), jnp.float32)
+    ones = jnp.ones((th, tw), jnp.float32)
+    if not jitter:
+        pdx, pdy, pdz = ray_dirs(jnp.float32(0.5), jnp.float32(0.5))
+
+    bounce = make_physical_shading(
+        sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
+        tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph,
+        (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat, n_em, nee,
+    )
+
+    cam_ox = jnp.full((th, tw), cox)
+    cam_oy = jnp.full((th, tw), coy)
+    cam_oz = jnp.full((th, tw), coz)
+
+    inv_spp = jnp.float32(1.0 / spp)
+    g_r = g_ref[0] * inv_spp
+    g_g = g_ref[1] * inv_spp
+    g_b = g_ref[2] * inv_spp
+
+    for c in range(3):
+        sky_acc[c] = zero
+
+    def zero_acc(mi, _):
+        for k in range(8):
+            acc[mi, k] = zero
+        return 0
+
+    jax.lax.fori_loop(0, n_mat, zero_acc, 0)
+
+    def store(b, info):
+        P_r, P_g, P_b_ = info["P"]
+        p_store[b, 0] = P_r
+        p_store[b, 1] = P_g
+        p_store[b, 2] = P_b_
+        ler, leg, leb = info["le"]
+        le_store[b, 0] = ler
+        le_store[b, 1] = leg
+        le_store[b, 2] = leb
+        w_store[b] = info["w"]
+        mat_store[b] = info["mat"]
+        emat_store[b] = info["emat"]
+        mk_store[b, 0] = jnp.where(info["hitm"], 1.0, 0.0)
+        mk_store[b, 1] = jnp.where(info["missm"], 1.0, 0.0)
+        mk_store[b, 2] = jnp.where(info["tirm"], 1.0, 0.0)
+        mk_store[b, 3] = jnp.where(info["addle"], 1.0, 0.0)
+        mk_store[b, 4] = jnp.where(info["valid"], 1.0, 0.0)
+        mk_store[b, 5] = jnp.where(info["refrm"], 1.0, 0.0)
+
+    def sample_body(s, carry):
+        sample = (s + sample_offset).astype(jnp.uint32)
+        st = (
+            pix * fk._u32(0x9E3779B9)
+            ^ sample * fk._u32(0x85EBCA6B)
+            ^ seed * fk._u32(0xC2B2AE35)
+        )
+        st, _ = fk._pcg(st)
+        st, _ = fk._pcg(st)
+        if jitter:
+            st, jx = fk._uniform(st)
+            st, jy = fk._uniform(st)
+            sdx, sdy, sdz = ray_dirs(jx, jy)
+        else:
+            sdx, sdy, sdz = pdx, pdy, pdz
+
+        # Pre-zero the per-bounce masks so bounces skipped by the early
+        # exit read as "no event" in the suffix sweep.
+        def zero_masks(b, _):
+            for k in range(6):
+                mk_store[b, k] = zero
+            return 0
+
+        jax.lax.fori_loop(0, max_bounces + 1, zero_masks, 0)
+
+        state0 = (
+            cam_ox, cam_oy, cam_oz,
+            sdx, sdy, sdz,
+            ones, ones, ones,
+            zero, zero, zero,
+            st, zero,
+        )
+
+        # Replay, exiting only on *structural* deaths (miss/TIR), never
+        # on zero throughput — a zero-albedo lane's albedo cotangent
+        # needs the untraced future suffix (same rule as pallas_grad.py).
+        def w_cond(c_):
+            b, s_, done = c_
+            return (b < max_bounces + 1) & (jnp.min(done) < 1.0)
+
+        def w_body(c_):
+            b, s_, done = c_
+            s_new = bounce(s_, b=b, store=store)
+            hit_f = mk_store[b, 0]
+            tir_f = mk_store[b, 2]
+            done = jnp.maximum(
+                done, jnp.where((hit_f > 0.0) & (tir_f == 0.0), 0.0, 1.0)
+            )
+            return b + 1, s_new, done
+
+        _, s_end, _ = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), state0, zero)
+        )
+        tr_e, tg_e, tb_e = s_end[6], s_end[7], s_end[8]
+        # exhausted lanes: total += P_end * sky -> d_sky += g * P_end
+        sky_acc[0] = sky_acc[0] + g_r * tr_e
+        sky_acc[1] = sky_acc[1] + g_g * tg_e
+        sky_acc[2] = sky_acc[2] + g_b * tb_e
+
+        # ---- suffix sweep ----
+        def bwd_body(i, S):
+            b = max_bounces - i
+            Sr, Sg, Sb = S
+            hitm = mk_store[b, 0] > 0.0
+            missm = mk_store[b, 1] > 0.0
+            tirm = mk_store[b, 2] > 0.0
+            addle = mk_store[b, 3]
+            valid = mk_store[b, 4]
+            refrm = mk_store[b, 5] > 0.0
+            mat = mat_store[b]
+            emat = emat_store[b]
+            Pr = p_store[b, 0]
+            Pg = p_store[b, 1]
+            Pb_ = p_store[b, 2]
+            ler = le_store[b, 0]
+            leg = le_store[b, 1]
+            leb = le_store[b, 2]
+            w = w_store[b]
+
+            # TIR lanes have no downstream throughput cotangent.
+            Sr_h = jnp.where(tirm, 0.0, Sr)
+            Sg_h = jnp.where(tirm, 0.0, Sg)
+            Sb_h = jnp.where(tirm, 0.0, Sb)
+
+            # d_sky from misses at this bounce.
+            sky_acc[0] = sky_acc[0] + jnp.where(missm, g_r * Pr, 0.0)
+            sky_acc[1] = sky_acc[1] + jnp.where(missm, g_g * Pg, 0.0)
+            sky_acc[2] = sky_acc[2] + jnp.where(missm, g_b * Pb_, 0.0)
+
+            # pass 1: materialize the hit material's planes
+            alr = zero; alg = zero; alb_ = zero
+            ecr = zero; ecg = zero; ecb = zero
+            esh = zero; tnh = zero
+
+            def fetch_body(mi, c):
+                alr, alg, alb_, ecr, ecg, ecb, esh, tnh = c
+                msk = mat == mi
+                return (
+                    jnp.where(msk, m_alb[mi, 0], alr),
+                    jnp.where(msk, m_alb[mi, 1], alg),
+                    jnp.where(msk, m_alb[mi, 2], alb_),
+                    jnp.where(msk, m_eco[mi, 0], ecr),
+                    jnp.where(msk, m_eco[mi, 1], ecg),
+                    jnp.where(msk, m_eco[mi, 2], ecb),
+                    jnp.where(msk, m_est[mi, 0], esh),
+                    jnp.where(msk, m_trn[mi, 0], tnh),
+                )
+
+            alr, alg, alb_, ecr, ecg, ecb, esh, tnh = jax.lax.fori_loop(
+                0, n_mat, fetch_body,
+                (alr, alg, alb_, ecr, ecg, ecb, esh, tnh),
+            )
+
+            # per-lane cotangent pieces. Every read of the replay stores
+            # must be jnp.where-SELECTED by its event mask, never mask-
+            # multiplied: bounces skipped by the early exit leave their
+            # P/le/w scratch uninitialized (NaN in VMEM), and 0 * NaN is
+            # NaN — only the masks themselves are pre-zeroed.
+            validm = valid > 0.0
+            nee_r = jnp.where(validm, ler * w * _INV_PI, 0.0)
+            nee_g = jnp.where(validm, leg * w * _INV_PI, 0.0)
+            nee_b = jnp.where(validm, leb * w * _INV_PI, 0.0)
+            gPr = jnp.where(hitm, g_r * Pr, 0.0)
+            gPg = jnp.where(hitm, g_g * Pg, 0.0)
+            gPb = jnp.where(hitm, g_b * Pb_, 0.0)
+            dA_r = gPr * (Sr_h + nee_r)
+            dA_g = gPg * (Sg_h + nee_g)
+            dA_b = gPb * (Sb_h + nee_b)
+            # emitter radiance cotangent d_le = g*P*(albedo/pi)*w (valid)
+            dLe_r = jnp.where(validm, gPr * alr * _INV_PI * w, 0.0)
+            dLe_g = jnp.where(validm, gPg * alg * _INV_PI * w, 0.0)
+            dLe_b = jnp.where(validm, gPb * alb_ * _INV_PI * w, 0.0)
+            # transparency ratio term: post-ratio contribution is
+            # albedo*(S_h + nee), i.e. sum_c albedo_c * dA_c / g-free form
+            cot_ratio = alr * dA_r + alg * dA_g + alb_ * dA_b
+            dr = jnp.where(
+                refrm,
+                1.0 / jnp.maximum(tnh, 1e-6),
+                -1.0 / jnp.maximum(1.0 - tnh, 1e-6),
+            )
+            rterm = cot_ratio * dr
+
+            # pass 2: accumulate per material (hit terms + emitter terms)
+            def acc_body(mi, _):
+                mskh = jnp.where((mat == mi) & hitm, 1.0, 0.0)
+                acc[mi, 0] = acc[mi, 0] + mskh * dA_r
+                acc[mi, 1] = acc[mi, 1] + mskh * dA_g
+                acc[mi, 2] = acc[mi, 2] + mskh * dA_b
+                ha = mskh * addle
+                es = m_est[mi, 0]
+                acc[mi, 3] = acc[mi, 3] + ha * gPr * es
+                acc[mi, 4] = acc[mi, 4] + ha * gPg * es
+                acc[mi, 5] = acc[mi, 5] + ha * gPb * es
+                acc[mi, 6] = acc[mi, 6] + ha * (
+                    gPr * m_eco[mi, 0]
+                    + gPg * m_eco[mi, 1]
+                    + gPb * m_eco[mi, 2]
+                )
+                acc[mi, 7] = acc[mi, 7] + mskh * rterm
+                # sampled-emitter emission terms (le = eco*est of emat)
+                mske = jnp.where(emat == mi, valid, 0.0)
+                acc[mi, 3] = acc[mi, 3] + mske * dLe_r * es
+                acc[mi, 4] = acc[mi, 4] + mske * dLe_g * es
+                acc[mi, 5] = acc[mi, 5] + mske * dLe_b * es
+                acc[mi, 6] = acc[mi, 6] + mske * (
+                    dLe_r * m_eco[mi, 0]
+                    + dLe_g * m_eco[mi, 1]
+                    + dLe_b * m_eco[mi, 2]
+                )
+                return 0
+
+            jax.lax.fori_loop(0, n_mat, acc_body, 0)
+
+            # carry: S_b = addle*E + albedo*(S_h + nee) (hit), sky (miss),
+            # pass-through (already dead — value re-anchored at the death).
+            Er = ecr * esh
+            Eg = ecg * esh
+            Eb = ecb * esh
+            Sr = jnp.where(
+                hitm, addle * Er + alr * (Sr_h + nee_r),
+                jnp.where(missm, sky_r, Sr),
+            )
+            Sg = jnp.where(
+                hitm, addle * Eg + alg * (Sg_h + nee_g),
+                jnp.where(missm, sky_g, Sg),
+            )
+            Sb = jnp.where(
+                hitm, addle * Eb + alb_ * (Sb_h + nee_b),
+                jnp.where(missm, sky_b, Sb),
+            )
+            return (Sr, Sg, Sb)
+
+        S0 = (jnp.full((th, tw), sky_r), jnp.full((th, tw), sky_g),
+              jnp.full((th, tw), sky_b))
+        jax.lax.fori_loop(0, max_bounces + 1, bwd_body, S0)
+        return carry
+
+    jax.lax.fori_loop(0, spp, sample_body, 0)
+
+    # ---- reduce tile accumulators, sum across grid programs ----
+    @pl.when(first)
+    def _():
+        def z(mi, _):
+            for k in range(8):
+                out_ref[mi, k] = jnp.float32(0.0)
+            return 0
+
+        jax.lax.fori_loop(0, n_mat + 1, z, 0)
+
+    def reduce_mat(mi, _):
+        for k in range(8):
+            out_ref[mi, k] = out_ref[mi, k] + jnp.sum(acc[mi, k])
+        return 0
+
+    jax.lax.fori_loop(0, n_mat, reduce_mat, 0)
+    for c in range(3):
+        out_ref[n_mat, c] = out_ref[n_mat, c] + jnp.sum(sky_acc[c])
 
 
 def _emitter_operands(scene: Scene):
@@ -430,6 +813,23 @@ def _emitter_operands(scene: Scene):
         * mats.emission_strength[sph.material][:, None]
     )
     return em_cum[:, None], le_sph.astype(jnp.float32), n_em
+
+
+def _phys_operands(scene, camera, height, width, seed, sample_offset,
+                   row_start):
+    em_cum, le_sph, n_em = _emitter_operands(scene)
+    par_i = jnp.stack(
+        [jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+         jnp.asarray(sample_offset, jnp.int32),
+         jnp.asarray(row_start, jnp.int32),
+         n_em.astype(jnp.int32)]
+    )[None, :]
+    return fk._scene_operands(scene) + [
+        em_cum,
+        le_sph,
+        fk._camera_params(camera, scene, height, width),
+        par_i,
+    ]
 
 
 @partial(
@@ -482,20 +882,9 @@ def render_physical_pallas(
         nee=nee,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    em_cum, le_sph, n_em = _emitter_operands(scene)
-    par_i = jnp.stack(
-        [jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
-         jnp.asarray(sample_offset, jnp.int32),
-         jnp.asarray(row_start, jnp.int32),
-         n_em.astype(jnp.int32)]
-    )[None, :]
-
-    operands = fk._scene_operands(scene) + [
-        em_cum,
-        le_sph,
-        fk._camera_params(camera, scene, height, width),
-        par_i,
-    ]
+    operands = _phys_operands(
+        scene, camera, height, width, seed, sample_offset, row_start
+    )
     out = pl.pallas_call(
         kern,
         grid=(rows // th, width // tw),
@@ -507,3 +896,172 @@ def render_physical_pallas(
         interpret=interpret,
     )(*operands)
     return jnp.transpose(out, (1, 2, 0))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "spp", "max_bounces", "tile", "interpret", "rows",
+        "jitter", "nee",
+    ),
+)
+def render_physical_pallas_bwd(
+    scene: Scene,
+    camera: Camera,
+    g,  # (rows, W, 3) cotangent of the radiance image (row block)
+    height: int,
+    width: int,
+    spp: int,
+    max_bounces: int,
+    seed,
+    sample_offset=0,
+    tile=PHYS_BWD_TILE,
+    interpret: bool = False,
+    row_start=0,
+    rows: int | None = None,
+    jitter: bool = True,
+    nee: bool = True,
+):
+    """Material/sky VJP of :func:`render_physical_pallas`.
+
+    Returns a Scene-shaped cotangent pytree. Albedo, emission color/
+    strength, transparency and sky match core AD; roughness/metallicity/
+    IOR are exactly zero (detached in the estimator, like core AD);
+    **geometry cotangents are returned as zeros by contract** — the
+    physical tier's true geometry gradients need full-path AD (see module
+    docstring), so geometry fits use the core path.
+    """
+    rows = height if rows is None else rows
+    th, tw = _fit_tile(
+        rows, width, tile, scene.num_materials, max_bounces,
+        bounce_planes=_PHYS_BOUNCE_PLANES,
+    )
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    n_mat = scene.num_materials
+    bplus = max_bounces + 1
+    kern = partial(
+        _phys_bwd_kernel,
+        th=th, tw=tw,
+        n_sph=scene.num_spheres,
+        n_tri=scene.num_triangles,
+        n_mat=n_mat,
+        spp=spp,
+        max_bounces=max_bounces,
+        jitter=jitter,
+        nee=nee,
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    g_planes = jnp.transpose(g.astype(jnp.float32), (2, 0, 1))
+    operands = _phys_operands(
+        scene, camera, height, width, seed, sample_offset, row_start
+    ) + [g_planes]
+    out = pl.pallas_call(
+        kern,
+        grid=(rows // th, width // tw),
+        in_specs=[smem() for _ in operands[:-1]]
+        + [pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (n_mat + 1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_mat + 1, 8), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # p_store
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # le_store
+            pltpu.VMEM((bplus, th, tw), jnp.float32),  # w_store
+            pltpu.VMEM((bplus, 6, th, tw), jnp.float32),  # mk_store
+            pltpu.VMEM((bplus, th, tw), jnp.int32),  # mat_store
+            pltpu.VMEM((bplus, th, tw), jnp.int32),  # emat_store
+            pltpu.VMEM((n_mat, 8, th, tw), jnp.float32),  # acc
+            pltpu.VMEM((3, th, tw), jnp.float32),  # sky_acc
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    import dataclasses
+
+    zeros = lambda x: jnp.zeros_like(x)
+    mats = scene.materials
+    d_mats = dataclasses.replace(
+        mats,
+        albedo=out[:n_mat, 0:3],
+        emission_color=out[:n_mat, 3:6],
+        emission_strength=out[:n_mat, 6],
+        transparency=out[:n_mat, 7],
+        roughness=zeros(mats.roughness),
+        metallicity=zeros(mats.metallicity),
+        refractive_index=zeros(mats.refractive_index),
+    )
+    return dataclasses.replace(
+        scene,
+        materials=d_mats,
+        spheres=jax.tree_util.tree_map(zeros, scene.spheres),
+        triangles=jax.tree_util.tree_map(zeros, scene.triangles),
+        sky_color=out[n_mat, 0:3],
+    )
+
+
+# -- differentiable wrapper: Pallas forward + Pallas material backward ------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _render_physical_pallas_vjp(
+    scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
+    seed, sample_offset, row_start,
+):
+    return render_physical_pallas(
+        scene, camera, height, width, spp, max_bounces, seed,
+        sample_offset=sample_offset, row_start=row_start, rows=rows,
+        jitter=jitter, nee=nee,
+    )
+
+
+def _vjp_fwd(
+    scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
+    seed, sample_offset, row_start,
+):
+    out = render_physical_pallas(
+        scene, camera, height, width, spp, max_bounces, seed,
+        sample_offset=sample_offset, row_start=row_start, rows=rows,
+        jitter=jitter, nee=nee,
+    )
+    return out, (scene, camera, seed, sample_offset, row_start)
+
+
+def _vjp_bwd(height, width, spp, max_bounces, rows, jitter, nee, res, g):
+    scene, camera, seed, sample_offset, row_start = res
+    d_scene = render_physical_pallas_bwd(
+        scene, camera, g, height, width, spp, max_bounces, seed,
+        sample_offset=sample_offset, row_start=row_start, rows=rows,
+        jitter=jitter, nee=nee,
+    )
+    d_scene = fk._float0_ints(d_scene, scene)
+    d_camera = jax.tree_util.tree_map(jnp.zeros_like, camera)
+    return d_scene, d_camera, None, None, None
+
+
+_render_physical_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def render_physical_pallas_vjp(
+    scene, camera, height, width, spp, max_bounces, seed,
+    sample_offset=0, row_start=0, rows: int | None = None,
+    jitter: bool = True, nee: bool = True,
+):
+    """Differentiable physical-tier fast render: megakernel forward +
+    hand-written material/sky backward kernel.
+
+    **Materials-only VJP**: albedo, emission, transparency and sky
+    cotangents match core AD; geometry cotangents are ZERO by contract
+    (see :func:`render_physical_pallas_bwd`). Use for material fits
+    (grad/diff.fit_materials) and sharded training; for geometry
+    recovery use ``models/physical.render_physical`` under ``jax.grad``.
+    """
+    rows = height if rows is None else rows
+    return _render_physical_pallas_vjp(
+        scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
+        jnp.asarray(seed, jnp.uint32),
+        jnp.asarray(sample_offset, jnp.int32),
+        jnp.asarray(row_start, jnp.int32),
+    )

@@ -83,6 +83,12 @@ def render_sharded(
         from ..ops.pallas_kernels import render_pallas_vjp
     elif engine == "physical":
         from ..models.physical import render_physical
+    elif engine == "physical_pallas":
+        # Fast physical tier per shard. Differentiable for MATERIALS and
+        # sky only (geometry cotangents are zero by contract —
+        # ops/pallas_physical.render_physical_pallas_vjp); geometry fits
+        # must use engine="physical".
+        from ..ops.pallas_physical import render_physical_pallas_vjp
     elif engine != "core":
         raise ValueError(f"unknown engine {engine!r}")
 
@@ -128,6 +134,20 @@ def render_sharded(
                 sample_offset=si * spp_local,
                 row_start=ti * rows_local,
                 rows=rows_local,
+            )
+        elif engine == "physical_pallas":
+            img = render_physical_pallas_vjp(
+                scene,
+                camera,
+                height,
+                width,
+                spp_local,
+                max_bounces,
+                seed,
+                sample_offset=si * spp_local,
+                row_start=ti * rows_local,
+                rows=rows_local,
+                jitter=jitter,
             )
         else:
             img = render_tile(
@@ -187,7 +207,7 @@ def make_train_step(
             max_bounces,
             seed,
             mesh,
-            remat=engine == "core",
+            remat=engine in ("core", "physical"),  # XLA-AD engines only
             engine=engine,
         )
         return jnp.mean((img - target) ** 2)

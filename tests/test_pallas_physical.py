@@ -106,3 +106,138 @@ def test_phys_pallas_divisibility_error():
             demo.cornell_spheres_scene(), CAM, 20, 128, 1, 2, jnp.uint32(0),
             tile=(16, 128), interpret=True,
         )
+
+
+# -- hand-written material/sky backward vs core AD ---------------------------
+
+
+def _compare_bwd(scene, h, w, spp, bounces, seed, gseed, jitter=True,
+                 rtol=5e-3, scale_frac=0.0):
+    """Hand backward vs core AD. ``scale_frac`` adds a tolerance
+    proportional to each cotangent's overall scale — for scenes whose
+    giant spheres make a small fraction of samples flip between the two
+    compilations, moving *small* elements by O(flip/spp) while the big
+    ones stay within rtol."""
+    import jax
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas_bwd,
+    )
+
+    g = jnp.asarray(
+        np.random.default_rng(gseed).standard_normal((h, w, 3)), jnp.float32
+    )
+    _, vjp = jax.vjp(
+        lambda sc: render_physical(
+            sc, CAM, h, w, spp, bounces, jnp.uint32(seed), jitter=jitter
+        ),
+        scene,
+    )
+    d_core = vjp(g)[0]
+    d_hand = render_physical_pallas_bwd(
+        scene, CAM, g, h, w, spp, bounces, jnp.uint32(seed),
+        tile=(8, 128), jitter=jitter,
+    )
+    pairs = [
+        (d_hand.materials.albedo, d_core.materials.albedo),
+        (d_hand.materials.emission_color, d_core.materials.emission_color),
+        (d_hand.materials.emission_strength,
+         d_core.materials.emission_strength),
+        (d_hand.materials.transparency, d_core.materials.transparency),
+        (d_hand.sky_color, d_core.sky_color),
+    ]
+    for a, c in pairs:
+        a, c = np.asarray(a), np.asarray(c)
+        atol = 3e-5 + scale_frac * np.abs(c).max()
+        np.testing.assert_allclose(a, c, rtol=rtol, atol=atol)
+    # geometry cotangents are zero BY CONTRACT in the hand kernel (the
+    # core's are genuinely nonzero in the physical tier — that's the
+    # documented limitation, not a parity target).
+    assert not np.any(np.asarray(d_hand.spheres.center))
+    assert not np.any(np.asarray(d_hand.spheres.radius))
+    # roughness is detached in both (lobe selection is stop-gradient)
+    assert not np.any(np.asarray(d_core.materials.roughness))
+    assert not np.any(np.asarray(d_hand.materials.roughness))
+
+
+def test_phys_bwd_matches_core_cornell():
+    # Giant wall spheres (r=1000) amplify the FMA-contraction ulp
+    # differences between the two compilations: |oc|^2 - r^2 cancels
+    # catastrophically in f32, so a small fraction of samples flips
+    # discrete decisions, and each flip moves a cotangent by O(Le/spp).
+    # Averaging over more samples shrinks it (verified: rel err 0.042 ->
+    # 0.013 going 2 -> 32 spp); controlled scenes without giant spheres
+    # match to rounding at rtol=5e-3 (test below + the minimal scenes).
+    _compare_bwd(demo.cornell_spheres_scene(), 8, 128, 8, 3, seed=3,
+                 gseed=0, rtol=2e-2, scale_frac=0.03)
+
+
+def test_phys_bwd_matches_core_glossy():
+    _compare_bwd(demo.glossy_scene(), 8, 128, 2, 3, seed=5, gseed=1)
+
+
+def test_phys_bwd_matches_core_no_jitter():
+    _compare_bwd(demo.cornell_spheres_scene(), 8, 128, 8, 2, seed=7,
+                 gseed=2, jitter=False, rtol=2e-2, scale_frac=0.03)
+
+
+def test_phys_bwd_matches_core_emitter_nee_counted():
+    """A big, frequently-BSDF-hit emitter exercises the Le-skip
+    (nee_counted) terms; no giant spheres, so the match is rounding-tight."""
+    b = pt.SceneBuilder(sky_color=(0.3, 0.4, 0.5))
+    ground = b.add_material(albedo=(0.6, 0.5, 0.4), roughness=1.0)
+    lamp = b.add_material(albedo=(1.0, 1.0, 1.0),
+                          emission_color=(1.0, 0.8, 0.6),
+                          emission_strength=10.0)
+    b.add_triangle(v0=(-50, -1, -50), v1=(50, -1, -50), v2=(50, -1, 50),
+                   material=ground)
+    b.add_triangle(v0=(-50, -1, -50), v1=(-50, -1, 50), v2=(50, -1, 50),
+                   material=ground)
+    b.add_sphere(center=(0.0, 3.0, 6.0), radius=3.0, material=lamp)
+    gm = b.add_material(albedo=(1.0, 1.0, 1.0), transparency=1.0,
+                        refractive_index=1.5)
+    b.add_sphere(center=(1.0, -0.3, 4.0), radius=0.7, material=gm)
+    mm = b.add_material(albedo=(0.95, 0.95, 0.95), roughness=0.05)
+    b.add_sphere(center=(-1.0, -0.3, 4.0), radius=0.7, material=mm)
+    _compare_bwd(b.build(), 8, 128, 2, 3, seed=7, gseed=2, jitter=False,
+                 rtol=1e-3)
+
+
+def test_phys_vjp_wrapper_matches_core_grad():
+    """grad through render_physical_pallas_vjp == grad through the core
+    physical path, for a material-parameterized loss."""
+    import dataclasses
+
+    import jax
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas_vjp,
+    )
+
+    scene = demo.cornell_spheres_scene()
+    h, w, spp, bounces = 8, 128, 2, 2
+    target = render_physical(scene, CAM, h, w, spp, bounces, jnp.uint32(9))
+
+    def with_albedo(albedo):
+        return dataclasses.replace(
+            scene, materials=dataclasses.replace(
+                scene.materials, albedo=albedo
+            )
+        )
+
+    def loss_fast(albedo):
+        img = render_physical_pallas_vjp(
+            with_albedo(albedo), CAM, h, w, spp, bounces, jnp.uint32(4)
+        )
+        return jnp.mean((img - target) ** 2)
+
+    def loss_core(albedo):
+        img = render_physical(
+            with_albedo(albedo), CAM, h, w, spp, bounces, jnp.uint32(4)
+        )
+        return jnp.mean((img - target) ** 2)
+
+    a0 = scene.materials.albedo
+    g_fast = np.asarray(jax.grad(loss_fast)(a0))
+    g_core = np.asarray(jax.grad(loss_core)(a0))
+    np.testing.assert_allclose(g_fast, g_core, rtol=2e-2, atol=1e-6)

@@ -206,6 +206,50 @@ def test_sharded_pallas_gradient_matches_unsharded_core(scene):
     np.testing.assert_allclose(g_fast, g_core, rtol=1e-3, atol=1e-7)
 
 
+def test_sharded_physical_pallas_gradient_matches_core():
+    """Fast physical training path: physical megakernel fwd + hand
+    material backward per shard vs the unsharded core physical gradient."""
+    import dataclasses
+
+    from path_tracer_c_tpu.models.physical import render_physical
+
+    scene_l = demo.cornell_spheres_scene()
+    h, w, spp, bounces = 16, 128, 2, 2
+    target = render_physical(
+        scene_l, CAM, h, w, spp, bounces, jnp.uint32(77), jitter=False
+    )
+    mesh = parallel.make_mesh(tile=2, spp=4)
+
+    def with_albedo(albedo):
+        return dataclasses.replace(
+            scene_l,
+            materials=dataclasses.replace(scene_l.materials, albedo=albedo),
+        )
+
+    def loss_sharded_fast(albedo):
+        img = parallel.render_sharded(
+            with_albedo(albedo), CAM, h, w, spp * 4, bounces, jnp.uint32(3),
+            mesh, engine="physical_pallas", jitter=False,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    def loss_single_core(albedo):
+        img = render_physical(
+            with_albedo(albedo), CAM, h, w, spp * 4, bounces, jnp.uint32(3),
+            jitter=False,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    a0 = scene_l.materials.albedo
+    g_fast = np.asarray(jax.grad(loss_sharded_fast)(a0))
+    g_core = np.asarray(jax.grad(loss_single_core)(a0))
+    # giant cornell walls: rare compilation-chaos flips (see
+    # tests/test_pallas_physical.py) -> scale-normalized tolerance
+    np.testing.assert_allclose(
+        g_fast, g_core, rtol=2e-2, atol=3e-2 * np.abs(g_core).max()
+    )
+
+
 def test_sharded_physical_engine_matches_unsharded(scene):
     """Physical BRDF/NEE tier under a mesh == its unsharded render."""
     from path_tracer_c_tpu.models.physical import render_physical
