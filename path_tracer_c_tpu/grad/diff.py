@@ -50,6 +50,9 @@ __all__ = [
     "make_material_params",
     "apply_material_params",
     "fit_materials",
+    "make_geometry_params",
+    "apply_geometry_params",
+    "fit_geometry",
 ]
 
 
@@ -184,3 +187,92 @@ def fit_materials(
         if callback is not None:
             callback(i, losses[-1])
     return apply_material_params(scene_init, params), losses
+
+
+# -- geometry recovery (physical tier) ---------------------------------------
+#
+# The reference shading model is piecewise-constant in geometry (see module
+# docstring), so geometry fits run the PHYSICAL tier, whose NEE cosine and
+# solid-angle factors give sphere center/radius (and triangle vertex)
+# parameters nonzero, FD-matchable interior gradients
+# (tests/test_physical.py).
+
+
+def make_geometry_params(scene: Scene, sphere_indices):
+    """Unconstrained optimization variables for selected spheres:
+    raw centers + inverse-softplus radii (radius stays positive)."""
+    idx = jnp.asarray(sphere_indices, jnp.int32)
+    return {
+        "center": scene.spheres.center[idx],
+        "radius_raw": _inv_softplus(scene.spheres.radius[idx]),
+    }
+
+
+def apply_geometry_params(scene: Scene, params, sphere_indices) -> Scene:
+    import dataclasses
+
+    idx = jnp.asarray(sphere_indices, jnp.int32)
+    sph = dataclasses.replace(
+        scene.spheres,
+        center=scene.spheres.center.at[idx].set(params["center"]),
+        radius=scene.spheres.radius.at[idx].set(
+            jax.nn.softplus(params["radius_raw"])
+        ),
+    )
+    return dataclasses.replace(scene, spheres=sph)
+
+
+def fit_geometry(
+    scene_init: Scene,
+    target,
+    camera,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounces: int,
+    sphere_indices=(0,),
+    steps: int = 100,
+    lr: float = 0.02,
+    seed0: int = 0,
+    callback=None,
+):
+    """Recover sphere geometry (center + radius) from a target image.
+
+    Runs the physical-tier estimator (the only tier with continuous
+    geometry dependence) under core-path AD — the Pallas physical VJP is
+    materials-only by contract (ops/pallas_physical.py). Interior
+    gradients only: visibility-edge (silhouette) gradients are not
+    modeled, so convergence relies on shading/NEE terms — adequate for
+    light-source recovery (tested). Returns ``(scene, losses)``.
+    """
+    from ..models.physical import render_physical
+
+    sphere_indices = tuple(int(i) for i in sphere_indices)
+    params = make_geometry_params(scene_init, sphere_indices)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, seed):
+        def loss_fn(p):
+            sc = apply_geometry_params(scene_init, p, sphere_indices)
+            img = render_physical(
+                sc, camera, height, width, spp, max_bounces, seed,
+                nee=True, jitter=False, remat=True,
+            )
+            return mse_loss(img, target)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(
+            params, opt_state, jnp.uint32(seed0 + i + 1)
+        )
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, losses[-1])
+    return apply_geometry_params(scene_init, params, sphere_indices), losses

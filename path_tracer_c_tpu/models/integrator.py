@@ -159,8 +159,10 @@ def trace_paths(
         # toward the side the ray departs on) with a magnitude that scales
         # with the hit point's float spacing.
         p = hit.point
+        # max() guard keeps reverse-mode finite on miss lanes (p == 0 at
+        # the camera origin); primal bit-identical (see models/physical.py).
         offs = DEFAULT_EPS_OFFSET + EPS_OFFSET_SCALE * jnp.sqrt(
-            jnp.sum(p * p, axis=-1, keepdims=True)
+            jnp.maximum(jnp.sum(p * p, axis=-1, keepdims=True), 1e-20)
         )
         side = jnp.where(
             jnp.sum(new_d * hit.normal, axis=-1, keepdims=True) >= 0.0, 1.0, -1.0

@@ -168,8 +168,12 @@ def trace_paths_physical(
 
         # -- NEE at diffuse vertices --
         p = hit.point
+        # max() guard: miss lanes have p == camera origin == 0, and
+        # d(sqrt)/dp at 0 is NaN in reverse mode (poisons geometry
+        # gradients through the masked branch). Primal is bit-identical:
+        # the 1e-10 floor adds 4e-16 to a 1e-4 offset, below f32 ulp.
         offs = DEFAULT_EPS_OFFSET + EPS_OFFSET_SCALE * jnp.sqrt(
-            jnp.sum(p * p, axis=-1, keepdims=True)
+            jnp.maximum(jnp.sum(p * p, axis=-1, keepdims=True), 1e-20)
         )
         shadow_o = p + offs * nrm
 
@@ -192,12 +196,19 @@ def trace_paths_physical(
             d2 = jnp.sum(dc * dc, axis=-1)
             dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
             wz = dc / dist[:, None]
-            sin2max = jnp.clip(r_e * r_e / jnp.maximum(d2, 1e-12), 0.0, 1.0)
-            cosmax = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+            # sin2max capped strictly below 1: at exactly 1 the sqrt's
+            # gradient is infinite, and lanes inside/touching the emitter
+            # (masked by ``outside`` in the primal) would still poison
+            # reverse-mode geometry gradients through the untaken branch.
+            sin2max = jnp.clip(
+                r_e * r_e / jnp.maximum(d2, 1e-12), 0.0, 1.0 - 1e-7
+            )
+            cosmax = jnp.sqrt(1.0 - sin2max)
             outside = d2 > r_e * r_e
-            # sample cos(theta) uniform in [cosmax, 1] (cone solid angle)
+            # sample cos(theta) uniform in [cosmax, 1] (cone solid angle);
+            # the 1e-12 floor keeps d(sth)/d(cth) finite at cth -> 1.
             cth = 1.0 - v1 * (1.0 - cosmax)
-            sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+            sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 1e-12))
             phi = _TWO_PI * v2
             t_ax, b_ax = _onb(wz)
             omega = (

@@ -244,7 +244,8 @@ def _bwd_kernel(
             ni = rnx * dx + rny * dy + rnz * dz
             k = 1.0 - eta * eta * (1.0 - ni * ni)
             tirm = k < 0.0
-            ksafe = jnp.where(tirm, 0.0, k)
+            # matches ops/sampling.refract's guarded sqrt (see there)
+            ksafe = jnp.where(tirm, 1.0, jnp.maximum(k, 1e-12))
             coef = eta * ni + jnp.sqrt(ksafe)
             txx = jnp.where(tirm, 0.0, eta * dx - coef * rnx)
             txy = jnp.where(tirm, 0.0, eta * dy - coef * rny)

@@ -371,7 +371,9 @@ def make_geometry(
         ni = rnx * dx + rny * dy + rnz * dz
         k = 1.0 - eta * eta * (1.0 - ni * ni)
         tirm = k < 0.0
-        ksafe = jnp.where(tirm, 0.0, k)
+        # sqrt(1) on the discarded TIR branch + 1e-12 floor: keeps the
+        # backward replay identical to ops/sampling.refract (see there).
+        ksafe = jnp.where(tirm, 1.0, jnp.maximum(k, 1e-12))
         coef = eta * ni + jnp.sqrt(ksafe)
         txx = jnp.where(tirm, 0.0, eta * dx - coef * rnx)
         txy = jnp.where(tirm, 0.0, eta * dy - coef * rny)

@@ -205,7 +205,8 @@ def make_physical_shading(
         ni = rnx * dx + rny * dy + rnz * dz
         k_ = 1.0 - eta * eta * (1.0 - ni * ni)
         tirm = k_ < 0.0
-        ksafe = jnp.where(tirm, 0.0, k_)
+        # matches ops/sampling.refract's guarded sqrt (see there)
+        ksafe = jnp.where(tirm, 1.0, jnp.maximum(k_, 1e-12))
         coef = eta * ni + jnp.sqrt(ksafe)
         txx = jnp.where(tirm, 0.0, eta * dx - coef * rnx)
         txy = jnp.where(tirm, 0.0, eta * dy - coef * rny)
@@ -290,11 +291,15 @@ def make_physical_shading(
             wzx = dcx_ / dist
             wzy = dcy_ / dist
             wzz = dcz_ / dist
-            sin2max = jnp.clip(rer * rer / jnp.maximum(d2, 1e-12), 0.0, 1.0)
-            cosmax = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+            # sin2max cap + sth floor mirror models/physical.py exactly
+            # (they exist for the core path's AD; values are identical).
+            sin2max = jnp.clip(
+                rer * rer / jnp.maximum(d2, 1e-12), 0.0, 1.0 - 1e-7
+            )
+            cosmax = jnp.sqrt(1.0 - sin2max)
             outside = d2 > rer * rer
             cth = 1.0 - v1 * (1.0 - cosmax)
-            sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+            sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 1e-12))
             phi = _TWO_PI * v2
             (tax, tay, taz), (bax, bay, baz) = _onb(wzx, wzy, wzz)
             cphi = sth * jnp.cos(phi)

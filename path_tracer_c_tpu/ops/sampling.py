@@ -46,7 +46,14 @@ def refract(i, n, eta):
     ni = _dot(n, i)
     k = 1.0 - eta * eta * (1.0 - ni * ni)
     tir = k < 0.0
-    k_safe = jnp.where(tir, 0.0, k)
+    # sqrt's derivative is infinite at 0. The TIR branch's output is
+    # discarded (zero-vector convention), but lax.scan's transpose
+    # materializes zero cotangents, so 0 * inf would still poison
+    # reverse-mode (NaN geometry gradients) — the discarded branch
+    # computes sqrt(1) instead, and k is floored at the exact-critical-
+    # angle boundary. Values are unchanged outside k in [0, 1e-12); the
+    # Pallas kernels and the scalar oracle apply the same floor.
+    k_safe = jnp.where(tir, 1.0, jnp.maximum(k, 1e-12))
     out = eta * i - (eta * ni + jnp.sqrt(k_safe)) * n
     return jnp.where(tir, 0.0, out), tir[..., 0]
 

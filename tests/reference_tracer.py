@@ -167,7 +167,9 @@ def refract(i, n, eta):
     k = 1.0 - eta * eta * (1.0 - ni * ni)
     if k < 0:
         return None  # TIR
-    return eta * i - (eta * ni + math.sqrt(k)) * n
+    # 1e-12 floor matches ops/sampling.refract's AD guard (value changes
+    # only for k in [0, 1e-12) — exact critical angle).
+    return eta * i - (eta * ni + math.sqrt(max(k, 1e-12))) * n
 
 
 def incident_light(sc, o, d, state, max_bounces, variant="gpu"):

@@ -127,3 +127,132 @@ def test_deterministic():
     a = _mean_radiance(scene, 4, 7, nee=True)
     b = _mean_radiance(scene, 4, 7, nee=True)
     np.testing.assert_array_equal(a, b)
+
+
+def _fd_check(loss_at, x0, eps, sel=None, rtol=6e-2, atol=2e-5):
+    """AD vs central finite differences over the flat components of x0."""
+    x0 = np.asarray(x0, np.float64)
+    ad = np.asarray(
+        jax.grad(lambda x: loss_at(jnp.asarray(x, jnp.float32)))(
+            jnp.asarray(x0, jnp.float32)
+        ),
+        np.float64,
+    )
+    flat_idx = (
+        range(x0.size) if sel is None else sel
+    )
+    fd = np.zeros(x0.size)
+    adf = ad.ravel()
+    for i in flat_idx:
+        xp = x0.copy().ravel()
+        xp[i] += eps
+        xm = x0.copy().ravel()
+        xm[i] -= eps
+        fd[i] = (
+            float(loss_at(jnp.asarray(xp.reshape(x0.shape), jnp.float32)))
+            - float(loss_at(jnp.asarray(xm.reshape(x0.shape), jnp.float32)))
+        ) / (2 * eps)
+        np.testing.assert_allclose(adf[i], fd[i], rtol=rtol, atol=atol)
+    return adf, fd
+
+
+def test_light_center_gradient_matches_fd():
+    """Sphere-light CENTER gradients: the NEE solid-angle/cosine chain
+    depends on the emitter position continuously (VERDICT r1 item 6)."""
+    scene = _light_scene()
+    h = w = 12
+    spp, bounces, seed = 8, 2, jnp.uint32(5)
+    target = render_physical(scene, CAM, h, w, spp, bounces, jnp.uint32(99),
+                             nee=True, jitter=False)
+
+    def loss_at(center_arr):
+        sc = dataclasses.replace(
+            scene, spheres=dataclasses.replace(scene.spheres,
+                                               center=center_arr)
+        )
+        img = render_physical(sc, CAM, h, w, spp, bounces, seed,
+                              nee=True, jitter=False)
+        return jnp.mean((img - target) ** 2)
+
+    # light sphere is index 0: components 0..2
+    ad, _ = _fd_check(loss_at, scene.spheres.center, eps=2e-3, sel=[0, 1, 2])
+    assert np.abs(ad[:3]).max() > 1e-6, "light-center gradient nonzero"
+
+
+def test_triangle_vertex_gradient_matches_fd():
+    """Triangle-vertex gradients through the hit point entering the NEE
+    shadow-ray geometry (distance/cone terms). A small in-view triangle:
+    a giant ground plane's far-away vertex has a vanishing lever arm."""
+    b = pt.SceneBuilder(sky_color=(0.0, 0.0, 0.0))
+    light = b.add_material(
+        albedo=(1.0, 1.0, 1.0),
+        emission_color=(1.0, 0.9, 0.8),
+        emission_strength=6.0,
+    )
+    diffuse = b.add_material(albedo=(0.7, 0.5, 0.4), roughness=1.0)
+    b.add_sphere(center=(0.0, 1.2, 5.0), radius=0.5, material=light)
+    # floor whose edges stay OFF-SCREEN: a vertex move tilts the plane
+    # (shading/NEE-distance change, interior-differentiable) without
+    # moving any visible silhouette — silhouette terms are the documented
+    # exclusion of interior gradients (SURVEY.md §7 hard part (b)).
+    b.add_triangle(v0=(-20.0, -1.0, -2.0), v1=(20.0, -1.0, -2.0),
+                   v2=(0.0, -1.0, 30.0), material=diffuse)
+    scene = b.build()
+    h = w = 12
+    spp, bounces, seed = 8, 2, jnp.uint32(5)
+    target = render_physical(scene, CAM, h, w, spp, bounces, jnp.uint32(99),
+                             nee=True, jitter=False)
+
+    def loss_at(v0_arr):
+        sc = dataclasses.replace(
+            scene, triangles=dataclasses.replace(scene.triangles, v0=v0_arr)
+        )
+        img = render_physical(sc, CAM, h, w, spp, bounces, seed,
+                              nee=True, jitter=False)
+        return jnp.mean((img - target) ** 2)
+
+    # v0.y tilts the floor: AD 4.85e-6 matches FD to ~0.2% (measured);
+    # in-plane slides (x/z) are genuinely ~0 for a near-infinite plane.
+    ad, _ = _fd_check(loss_at, scene.triangles.v0, eps=2e-3, sel=[1])
+    assert abs(ad[1]) > 1e-6, "floor-tilt gradient nonzero"
+
+
+@pytest.mark.slow
+def test_fit_geometry_recovers_light_position():
+    """Inverse rendering of GEOMETRY: recover a perturbed emitter
+    center/radius from pixel loss (grad/diff.fit_geometry)."""
+    from path_tracer_c_tpu.grad.diff import fit_geometry
+
+    true_scene = _light_scene()
+    h = w = 16
+    spp, bounces = 16, 2
+    target = render_physical(
+        true_scene, CAM, h, w, 64, bounces, jnp.uint32(1234),
+        nee=True, jitter=False,
+    )
+    init = dataclasses.replace(
+        true_scene,
+        spheres=dataclasses.replace(
+            true_scene.spheres,
+            center=true_scene.spheres.center.at[0].add(
+                jnp.asarray([0.35, -0.25, 0.3], jnp.float32)
+            ),
+            radius=true_scene.spheres.radius.at[0].add(0.2),
+        ),
+    )
+    fitted, losses = fit_geometry(
+        init, target, CAM, h, w, spp, bounces,
+        sphere_indices=[0], steps=100, lr=0.02, seed0=7,
+    )
+    err0 = float(jnp.abs(
+        init.spheres.center[0] - true_scene.spheres.center[0]).max())
+    err1 = float(jnp.abs(
+        fitted.spheres.center[0] - true_scene.spheres.center[0]).max())
+    rerr1 = float(jnp.abs(
+        fitted.spheres.radius[0] - true_scene.spheres.radius[0]))
+    # Loss converges hard; radius is strongly observable, center only
+    # partially at the converged loss (position/size trade off), so the
+    # center assert is improvement, not recovery.
+    assert losses[-1] < losses[0] * 0.1, (losses[0], losses[-1])
+    assert rerr1 < 0.08, rerr1
+    assert err1 < err0 * 0.8, (err0, err1)
