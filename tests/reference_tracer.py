@@ -218,6 +218,89 @@ def incident_light(sc, o, d, state, max_bounces, variant="gpu"):
     return (np.clip(out, 0, 1) if cpu_tier else out), state
 
 
+SPLIT_SALT = 0x632BE59B  # models/split.SPLIT_SALT
+
+
+def incident_light_split(sc, o, d, state, max_bounces):
+    """The reference GPU shader's two-branch SPLIT estimator
+    (rtx_frag.glsl:193-273), in the breadth-first order + per-node RNG
+    contract of models/split.py: reflect child inherits the parent's
+    advanced state, refract child takes one PCG hop off the salted
+    parent. Slot k's children sit at 2k / 2k+1, exactly like the
+    vectorized interleave."""
+    total = np.zeros(3)
+    level = [(o, d, np.ones(3), state)]
+    for b in range(max_bounces + 1):
+        nxt = []
+        for (o_, d_, w, st) in level:
+            hit = trace_ray(sc, o_, d_)
+            if hit is None:
+                total = total + w * sc["sky"]
+                continue
+            _, p, n_geom, mi = hit
+            total = total + w * (
+                sc["m_emission_color"][mi] * sc["m_emission_strength"][mi]
+            )
+            w = w * sc["m_albedo"][mi]
+
+            st, sph = unit_sphere(st)
+            n = _normalize(n_geom + sc["m_roughness"][mi] * sph)
+            transp = sc["m_transparency"][mi]
+
+            refl_d = reflect(d_, n)
+            ndot = float(d_ @ n)
+            eta, rn = (1.0 / sc["m_ior"][mi], n) if ndot < 0 else (
+                sc["m_ior"][mi], -n)
+            refr_d = refract(d_, rn, eta)  # None on TIR
+
+            offs = EPS_OFFSET + 4e-6 * math.sqrt(float(p @ p))
+
+            children = []
+            if transp < 1.0:
+                side = 1.0 if float(refl_d @ n_geom) >= 0 else -1.0
+                children.append(
+                    (p + offs * side * n_geom, refl_d, w * (1.0 - transp),
+                     st)
+                )
+            if transp > 0.0 and refr_d is not None:
+                cst, _ = pcg_next((st ^ SPLIT_SALT) & _MASK)
+                side = 1.0 if float(refr_d @ n_geom) >= 0 else -1.0
+                children.append(
+                    (p + offs * side * n_geom, refr_d, w * transp, cst)
+                )
+            if b == max_bounces:
+                for (_, _, cw, _) in children:
+                    total = total + cw * sc["sky"]
+            else:
+                nxt.extend(children)
+        level = nxt
+        if not level:
+            break
+    return total
+
+
+def render_split(scene, height, width, spp, max_bounces, seed,
+                 fov_deg=90.0):
+    """Golden split-estimator image; mirrors models/split.render_split."""
+    sc = scene_to_numpy(scene)
+    aspect = width / height
+    tf = math.tan(math.radians(fov_deg) / 2)
+    img = np.zeros((height, width, 3))
+    for py in range(height):
+        for px in range(width):
+            x = (px + 0.5) / width * 2.0 - 1.0
+            y = -((py + 0.5) / height * 2.0 - 1.0)
+            d = _normalize(np.array([x * tf, y * tf / aspect, 1.0]))
+            acc = np.zeros(3)
+            for s in range(spp):
+                state = seed_state(py * width + px, s, seed)
+                acc += incident_light_split(
+                    sc, np.zeros(3), d.copy(), state, max_bounces
+                )
+            img[py, px] = acc / spp
+    return img
+
+
 def scene_to_numpy(scene):
     """Flatten a path_tracer_c_tpu Scene pytree into plain numpy arrays."""
     import jax
