@@ -156,6 +156,32 @@ def main():
     phys_s = sorted(times)[len(times) // 2]
     phys_rps = rays / phys_s
 
+    # Measured speed-of-light (VERDICT r1 item 4): op counts from the
+    # kernel's own jaxpr + on-chip VPU calibration (utils/flops.py) —
+    # no hand-estimated flop tables. Skipped off-TPU / on failure (the
+    # tunnel occasionally stalls a compile; the headline must not die).
+    sol = {}
+    if on_tpu and "--no-sol" not in sys.argv:
+        try:
+            from path_tracer_c_tpu.utils.flops import sol_report
+
+            log("measuring speed-of-light (calibration kernels)")
+            rep = sol_report(scene, cam, H, W, SPP, BOUNCES, fwd_s)
+            sol = {
+                "sol_fraction": round(rep["sol_fraction"], 4),
+                "sustained_alu_tops": round(
+                    rep["sustained_alu_ops_per_sec"] / 1e12, 3),
+                "measured_alu_tops": round(
+                    rep["measured_alu_ops_per_sec"] / 1e12, 3),
+                "measured_transc_tops": round(
+                    rep["measured_transc_ops_per_sec"] / 1e12, 3),
+                "kernel_alu_ops": rep["alu_ops"],
+                "kernel_transc_ops": rep["transcendental_ops"],
+            }
+            log(f"sol_fraction {sol['sol_fraction']}")
+        except Exception as e:  # pragma: no cover - depends on tunnel
+            log(f"sol measurement skipped: {type(e).__name__}: {e}")
+
     print(
         json.dumps(
             {
@@ -174,6 +200,7 @@ def main():
                     "device": str(jax.devices()[0]),
                     "baseline_assumed_rays_per_sec": BASELINE_RAYS_PER_SEC,
                     "small_mode": small,
+                    **sol,
                 },
             }
         )

@@ -89,6 +89,15 @@ def _render_once(scene, camera, cfg, seed, sample_offset=0):
             scene, camera, cfg.height, cfg.width, cfg.spp, cfg.max_bounces,
             jnp.uint32(seed), jitter=cfg.jitter, sample_offset=sample_offset,
         )
+    if cfg.engine == "split":
+        # the reference GPU shader's exact two-branch estimator
+        # (models/split.py) — parity/analysis tier, core XLA path
+        from ..models.split import render_split
+
+        return render_split(
+            scene, camera, cfg.height, cfg.width, cfg.spp, cfg.max_bounces,
+            jnp.uint32(seed), sample_offset=sample_offset,
+        )
     if cfg.engine == "pallas":
         th = min(cfg.tile_h, cfg.height)
         tw = min(cfg.tile_w, cfg.width)
@@ -121,6 +130,20 @@ def cmd_render(args):
             setattr(cfg, name, v)
     if args.out:
         cfg.output = args.out
+    if getattr(args, "debug_nans", False):
+        cfg.debug_nans = True
+    if getattr(args, "progressive", False):
+        cfg.progressive = True
+
+    if cfg.debug_nans:
+        # Sanitizer analog (SURVEY.md §5 A2): XLA re-runs the op that
+        # produced a NaN un-jitted and raises FloatingPointError at it.
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+    if cfg.progressive and not cfg.checkpoint_every:
+        # progressive needs chunks to refine over: default to 8 previews
+        cfg.checkpoint_every = max(1, cfg.spp // 8)
 
     scene = get_scene(cfg.scene)
     camera = Camera.reference(cfg.fov_deg)
@@ -133,6 +156,8 @@ def cmd_render(args):
         spp_done = ck.spp_done
         print(f"resuming from {cfg.checkpoint_path}: {spp_done} spp done")
 
+    import jax.numpy as jnp
+
     chunk = cfg.checkpoint_every or (cfg.spp - spp_done)
     while spp_done < cfg.spp:
         n = min(chunk, cfg.spp - spp_done)
@@ -140,6 +165,12 @@ def cmd_render(args):
             rad = np.asarray(
                 _render_once(scene, camera, dataclasses.replace(cfg, spp=n),
                              cfg.seed, sample_offset=spp_done)
+            )
+        if cfg.debug_nans and not np.isfinite(rad).all():
+            bad = int(np.count_nonzero(~np.isfinite(rad)))
+            raise FloatingPointError(
+                f"non-finite radiance in chunk at spp_done={spp_done}: "
+                f"{bad} values (seed {cfg.seed}, engine {cfg.engine})"
             )
         ck = ckpt_mod.accumulate(ck, rad, n, cfg.seed)
         spp_done = ck.spp_done
@@ -149,19 +180,34 @@ def cmd_render(args):
         print(f"spp {spp_done}/{cfg.spp}  {t.seconds:.2f}s  {rps:.3e} rays/s")
         if cfg.checkpoint_path:
             ckpt_mod.save_render(cfg.checkpoint_path, ck)
-
-    import jax.numpy as jnp
+        if cfg.progressive and spp_done < cfg.spp:
+            # progressive preview: rewrite the output with the mean so far
+            u8 = np.asarray(render_image_u8(jnp.asarray(ck.image)))
+            bitmap.write_bitmap(cfg.output, u8, y_inverted=True)
+            metrics.log("progressive_preview", spp_done=spp_done)
 
     if getattr(args, "bounce_stats", False):
-        from ..models.integrator import render_bounce_stats
+        stats_spp = min(cfg.spp, 4)
+        if cfg.engine == "physical":
+            from ..models.physical import render_bounce_stats_physical
 
-        stats = render_bounce_stats(
-            scene, camera, cfg.height, cfg.width, min(cfg.spp, 4),
-            cfg.max_bounces, jnp.uint32(cfg.seed),
-        )
+            stats = render_bounce_stats_physical(
+                scene, camera, cfg.height, cfg.width, stats_spp,
+                cfg.max_bounces, jnp.uint32(cfg.seed), jitter=cfg.jitter,
+            )
+        else:
+            from ..models.integrator import render_bounce_stats
+
+            stats = render_bounce_stats(
+                scene, camera, cfg.height, cfg.width, stats_spp,
+                cfg.max_bounces, jnp.uint32(cfg.seed),
+            )
         stats = {k: np.asarray(v).tolist() for k, v in stats.items()}
-        metrics.log("bounce_histogram", **stats)
-        print(f"bounce histogram (per bounce): {stats}")
+        # the histogram's own spp (capped at 4: events are counted on a
+        # separate stats render, not the image's engine run)
+        metrics.log("bounce_histogram", spp=stats_spp,
+                    engine=cfg.engine, **stats)
+        print(f"bounce histogram ({stats_spp} spp, per bounce): {stats}")
 
     u8 = np.asarray(render_image_u8(jnp.asarray(ck.image)))
     bitmap.write_bitmap(cfg.output, u8, y_inverted=True)
@@ -247,6 +293,12 @@ def cmd_fit(args):
             setattr(cfg, name, v)
     if args.steps:
         fcfg.steps = args.steps
+    if getattr(args, "checkpoint_path", None):
+        fcfg.checkpoint_path = args.checkpoint_path
+    if getattr(args, "checkpoint_every", None):
+        fcfg.checkpoint_every = args.checkpoint_every
+    if fcfg.checkpoint_path and not fcfg.checkpoint_every:
+        fcfg.checkpoint_every = max(1, fcfg.steps // 10)
 
     true_scene = get_scene(cfg.scene)
     camera = Camera.reference(cfg.fov_deg)
@@ -278,6 +330,8 @@ def cmd_fit(args):
         init, target, camera, cfg.height, cfg.width, cfg.spp, cfg.max_bounces,
         steps=fcfg.steps, lr=fcfg.lr, seed0=cfg.seed,
         callback=lambda i, l: metrics.log("fit_step", step=i, loss=l),
+        checkpoint_path=fcfg.checkpoint_path or None,
+        checkpoint_every=fcfg.checkpoint_every,
     )
     err = float(
         jnp.abs(fitted.materials.albedo - true_scene.materials.albedo).max()
@@ -302,7 +356,9 @@ def build_parser():
         sp.add_argument("--height", type=int)
         sp.add_argument("--spp", type=int)
         sp.add_argument("--max-bounces", type=int, dest="max_bounces")
-        sp.add_argument("--engine", choices=["pallas", "core", "physical"])
+        sp.add_argument(
+            "--engine", choices=["pallas", "core", "physical", "split"]
+        )
         sp.add_argument("--metrics", help="metrics JSONL output path")
 
     r = sub.add_parser("render", help="offline render to BMP")
@@ -311,7 +367,20 @@ def build_parser():
     r.add_argument("--out", help="output BMP path")
     r.add_argument(
         "--bounce-stats", action="store_true", dest="bounce_stats",
-        help="log a per-bounce hit/miss/TIR event histogram",
+        help="log a per-bounce hit/miss/TIR event histogram (counted on a "
+             "separate stats render capped at 4 spp — engine-matched for "
+             "physical, core-path otherwise; plus NEE visibility counts "
+             "in physical mode)",
+    )
+    r.add_argument(
+        "--debug-nans", action="store_true", dest="debug_nans",
+        help="NaN-debug mode: enable jax_debug_nans and assert every "
+             "rendered chunk is finite (sanitizer analog)",
+    )
+    r.add_argument(
+        "--progressive", action="store_true",
+        help="rewrite the output BMP with the accumulating image after "
+             "every checkpoint chunk (progressive single-view preview)",
     )
     r.set_defaults(fn=cmd_render)
 
@@ -324,6 +393,16 @@ def build_parser():
     f = sub.add_parser("fit", help="inverse rendering: recover materials")
     common(f)
     f.add_argument("--steps", type=int)
+    f.add_argument(
+        "--checkpoint-path", dest="checkpoint_path",
+        help="optimizer-state checkpoint file; resumes bit-identically "
+             "if it exists (step-indexed per-step seeds)",
+    )
+    f.add_argument(
+        "--checkpoint-every", type=int, dest="checkpoint_every",
+        help="steps between optimizer checkpoints (default steps/10 when "
+             "a checkpoint path is set)",
+    )
     f.set_defaults(fn=cmd_fit)
     return p
 

@@ -67,13 +67,25 @@ def render_loss(
 ):
     """Differentiable pixel loss. ``engine="auto"`` uses the Pallas
     forward + hand-written backward on TPU (ops/pallas_grad.py) when the
-    shapes allow, the XLA core path elsewhere."""
+    shapes allow, the XLA core path elsewhere — and WARNS when a TPU
+    shape forces the ~100x-slower core backward, so the fallback is
+    never silent."""
     use_pallas = engine == "pallas" or (
         engine == "auto"
         and jax.default_backend() == "tpu"
         and height % 8 == 0
         and width % 128 == 0
     )
+    if not use_pallas and engine == "auto" and jax.default_backend() == "tpu":
+        import warnings
+
+        warnings.warn(
+            f"render_loss: {height}x{width} is not (8,128)-tileable; "
+            "falling back to the XLA core backward (orders of magnitude "
+            "slower than the Pallas VJP). Pad the image to multiples of "
+            "8x128 to use the fast path.",
+            stacklevel=2,
+        )
     if use_pallas:
         from ..ops.pallas_kernels import render_pallas_vjp
 
@@ -141,6 +153,36 @@ def apply_material_params(scene: Scene, params) -> Scene:
     return dataclasses.replace(scene, materials=m)
 
 
+def _run_fit_loop(step_fn, params, opt_state, steps, seed0, callback,
+                  checkpoint_path=None, checkpoint_every: int = 0):
+    """Shared optimizer driver: per-step seeds are STEP-INDEXED
+    (``seed0 + i + 1``), so a run resumed from a fit checkpoint replays
+    exactly the seeds an uninterrupted run would have used — resumed fits
+    are bit-identical (utils/checkpoint.save_fit)."""
+    from pathlib import Path
+
+    from ..utils import checkpoint as ckpt_mod
+
+    start, losses = 0, []
+    if checkpoint_path and Path(checkpoint_path).exists():
+        start, params, opt_state, losses = ckpt_mod.load_fit(
+            checkpoint_path, params, opt_state
+        )
+    for i in range(start, steps):
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.uint32(seed0 + i + 1)
+        )
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, losses[-1])
+        if checkpoint_path and checkpoint_every and (
+            (i + 1) % checkpoint_every == 0 or i + 1 == steps
+        ):
+            ckpt_mod.save_fit(checkpoint_path, i + 1, params, opt_state,
+                              losses)
+    return params, losses
+
+
 def fit_materials(
     scene_init: Scene,
     target,
@@ -153,12 +195,17 @@ def fit_materials(
     lr: float = 0.05,
     seed0: int = 0,
     callback=None,
+    checkpoint_path=None,
+    checkpoint_every: int = 0,
 ):
     """Recover albedo + emission from a target image (BASELINE config 4).
 
     Adam in the unconstrained space; a fresh RNG seed per step so the
     gradient is an unbiased estimate over sample paths (fixed-seed renders
-    would overfit one path realization). Returns ``(scene, losses)``.
+    would overfit one path realization). ``checkpoint_path`` /
+    ``checkpoint_every`` persist optimizer state every N steps; an
+    existing checkpoint resumes bit-identically (step-indexed seeds).
+    Returns ``(scene, losses)``.
     """
 
     params = make_material_params(scene_init)
@@ -178,14 +225,10 @@ def fit_materials(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    losses = []
-    for i in range(steps):
-        params, opt_state, loss = step(
-            params, opt_state, jnp.uint32(seed0 + i + 1)
-        )
-        losses.append(float(loss))
-        if callback is not None:
-            callback(i, losses[-1])
+    params, losses = _run_fit_loop(
+        step, params, opt_state, steps, seed0, callback,
+        checkpoint_path, checkpoint_every,
+    )
     return apply_material_params(scene_init, params), losses
 
 
@@ -235,6 +278,8 @@ def fit_geometry(
     lr: float = 0.02,
     seed0: int = 0,
     callback=None,
+    checkpoint_path=None,
+    checkpoint_every: int = 0,
 ):
     """Recover sphere geometry (center + radius) from a target image.
 
@@ -267,12 +312,8 @@ def fit_geometry(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    losses = []
-    for i in range(steps):
-        params, opt_state, loss = step(
-            params, opt_state, jnp.uint32(seed0 + i + 1)
-        )
-        losses.append(float(loss))
-        if callback is not None:
-            callback(i, losses[-1])
+    params, losses = _run_fit_loop(
+        step, params, opt_state, steps, seed0, callback,
+        checkpoint_path, checkpoint_every,
+    )
     return apply_geometry_params(scene_init, params, sphere_indices), losses

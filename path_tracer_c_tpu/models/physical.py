@@ -38,6 +38,7 @@ RNG: fixed 7-draw schedule per bounce (u_transp, u_lobe, 2 BSDF, 1 pick,
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +50,10 @@ from ..ops.sampling import reflect, refract
 from ..scene.scene import Scene
 from .integrator import DEFAULT_EPS_OFFSET, EPS_OFFSET_SCALE
 
-__all__ = ["trace_paths_physical", "render_physical"]
+__all__ = [
+    "trace_paths_physical", "render_physical",
+    "render_bounce_stats_physical",
+]
 
 _PI = math.pi
 _TWO_PI = 2.0 * math.pi
@@ -84,8 +88,17 @@ def trace_paths_physical(
     state,
     max_bounces: int,
     nee: bool = True,
+    collect_stats: bool = False,
 ):
-    """Physical-mode radiance estimate for a wavefront; see module doc."""
+    """Physical-mode radiance estimate for a wavefront; see module doc.
+
+    ``collect_stats=True`` additionally returns a dict of per-bounce
+    (max_bounces + 1,) int32 event counts — ``hits``, ``misses``,
+    ``tir_deaths`` (parity with the reference tier's
+    ``render_bounce_stats``) plus the NEE-specific ``nee_candidates``
+    (diffuse vertices that attempted a light sample) and ``nee_visible``
+    (shadow rays that reached the emitter) — the observability the NEE
+    estimator needs (visibility ratios explain its variance)."""
     n = origins.shape[0]
     sky = scene.sky_color[None, :]
     mats = scene.materials
@@ -99,6 +112,7 @@ def trace_paths_physical(
 
     def step(carry, _):
         o, d, thr, total, alive, prev_diff, st = carry
+        alive_in = alive
         hit = trace(o, d, scene)
 
         miss_now = alive & ~hit.mask
@@ -257,16 +271,33 @@ def trace_paths_physical(
         o = jnp.where(live, new_o, o)
         d = jnp.where(live, new_d, d)
         prev_diff = jnp.where(alive, choose_diff, prev_diff) if nee else prev_diff
-        return (o, d, thr, total, alive, prev_diff, st), None
+        stats = None
+        if collect_stats:
+            cnt = lambda m: jnp.sum(m.astype(jnp.int32))
+            stats = {
+                "hits": cnt(alive_in & hit.mask),
+                "misses": cnt(miss_now),
+                "tir_deaths": cnt(died),
+            }
+            if nee:
+                cand = (
+                    alive & choose_diff & (n_em > 0) & outside
+                    & (cos_surf > 0.0)
+                )
+                stats["nee_candidates"] = cnt(cand)
+                stats["nee_visible"] = cnt(cand & visible)
+        return (o, d, thr, total, alive, prev_diff, st), stats
 
     total = jnp.zeros_like(origins)
     thr = jnp.ones_like(origins)
     alive = jnp.ones((n,), dtype=bool)
     prev_diff = jnp.zeros((n,), dtype=bool)
     carry = (origins, directions, thr, total, alive, prev_diff, state)
-    carry, _ = jax.lax.scan(step, carry, None, length=max_bounces + 1)
+    carry, stats = jax.lax.scan(step, carry, None, length=max_bounces + 1)
     o, d, thr, total, alive, prev_diff, st = carry
     total = total + jnp.where(alive[:, None], thr * sky, 0.0)
+    if collect_stats:
+        return total, st, stats
     return total, st
 
 
@@ -317,3 +348,34 @@ def render_physical(
     sample_ids = jnp.arange(spp, dtype=jnp.int32) + jnp.int32(sample_offset)
     accum, _ = jax.lax.scan(body, init, sample_ids)
     return (accum / spp).reshape(rows, width, 3)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 7, 8))
+def render_bounce_stats_physical(
+    scene, camera, height, width, spp, max_bounces, seed,
+    nee: bool = True, jitter: bool = False,
+):
+    """Physical-tier per-bounce event histogram over a full render:
+    the reference-tier counts plus NEE shadow-ray visibility (the number
+    that explains NEE variance). Same (max_bounces + 1,) int32 layout as
+    ``models.integrator.render_bounce_stats``."""
+    pix = pixel_indices(height, width, 0, height)
+    rays = primary_rays(camera, height, width)
+
+    def body(acc, sample_idx):
+        st = _rng.seed_state(pix, sample_idx, seed)
+        if jitter:
+            o, d, st = primary_rays(camera, height, width, st)
+        else:
+            o, d = rays
+        _, _, stats = trace_paths_physical(
+            scene, o, d, st, max_bounces, nee=nee, collect_stats=True
+        )
+        return jax.tree_util.tree_map(jnp.add, acc, stats), None
+
+    keys = ["hits", "misses", "tir_deaths"]
+    if nee:
+        keys += ["nee_candidates", "nee_visible"]
+    zeros = {k: jnp.zeros((max_bounces + 1,), jnp.int32) for k in keys}
+    acc, _ = jax.lax.scan(body, zeros, jnp.arange(spp, dtype=jnp.int32))
+    return acc

@@ -46,6 +46,15 @@ class RenderConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     checkpoint_every: int = 0  # spp between checkpoints; 0 = off
     checkpoint_path: str = ""
+    # NaN-debug mode (the sanitizer analog, SURVEY.md §5 A2): turns on
+    # jax_debug_nans (XLA re-runs the offending op un-jitted and raises
+    # FloatingPointError at it) and makes the app assert every rendered
+    # chunk is finite.
+    debug_nans: bool = False
+    # Progressive preview (RT-mode analog, src/main.c:250-286): rewrite
+    # the output BMP with the accumulated image after every checkpoint
+    # chunk, refining a single view in place.
+    progressive: bool = False
 
 
 @dataclass
@@ -56,6 +65,8 @@ class FitConfig:
     steps: int = 200
     lr: float = 0.05
     target: str = ""  # target image path (npy) or empty to self-render
+    checkpoint_every: int = 0  # steps between optimizer checkpoints; 0 = off
+    checkpoint_path: str = ""  # resumes bit-identically if the file exists
 
 
 @dataclass

@@ -57,6 +57,9 @@ _FREE = {
     "dynamic_slice", "dynamic_update_slice", "concatenate", "iota",
     "rev", "pad", "gather", "scatter", "stop_gradient", "real", "imag",
     "expand_dims", "device_put", "copy_p",
+    # Pallas ref/bookkeeping ops inside kernel jaxprs
+    "get", "swap", "addupdate", "program_id", "bitcast", "masked_load",
+    "masked_store", "load", "store", "num_programs",
 }
 # Reductions: one op per *input* element (tree-add on the VPU).
 _REDUCE = {"reduce_sum", "reduce_max", "reduce_min", "reduce_and",
@@ -71,10 +74,10 @@ def _aval_size(v):
     return size
 
 
-def _count_jaxpr(jaxpr, while_trips: float, counts: dict):
+def _count_jaxpr(jaxpr, while_trips: float, counts: dict, scale: float = 1.0):
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
-        if name in ("pjit", "closed_call", "custom_jvp_call",
+        if name in ("jit", "pjit", "closed_call", "custom_jvp_call",
                     "custom_vjp_call", "custom_vjp_call_jaxpr", "remat",
                     "checkpoint", "core_call", "custom_dce_call"):
             inner = (eqn.params.get("jaxpr", None)
@@ -82,24 +85,27 @@ def _count_jaxpr(jaxpr, while_trips: float, counts: dict):
                      or eqn.params.get("fun_jaxpr", None))
             if inner is not None:
                 _count_jaxpr(getattr(inner, "jaxpr", inner), while_trips,
-                             counts)
+                             counts, scale)
+            continue
+        if name == "pallas_call":
+            grid = eqn.params["grid_mapping"].grid
+            n = 1.0
+            for g in grid:
+                n *= float(g)
+            inner = eqn.params["jaxpr"]
+            _count_jaxpr(getattr(inner, "jaxpr", inner), while_trips,
+                         counts, scale * n)
             continue
         if name == "scan":
             body = eqn.params["jaxpr"].jaxpr
-            sub = {"alu": 0.0, "transcendental": 0.0, "unknown": 0.0}
-            _count_jaxpr(body, while_trips, sub)
-            n = eqn.params["length"]
-            for k in sub:
-                counts[k] += n * sub[k]
+            _count_jaxpr(body, while_trips, counts,
+                         scale * eqn.params["length"])
             continue
         if name == "while":
-            body = eqn.params["body_jaxpr"].jaxpr
-            cond = eqn.params["cond_jaxpr"].jaxpr
-            sub = {"alu": 0.0, "transcendental": 0.0, "unknown": 0.0}
-            _count_jaxpr(body, while_trips, sub)
-            _count_jaxpr(cond, while_trips, sub)
-            for k in sub:
-                counts[k] += while_trips * sub[k]
+            _count_jaxpr(eqn.params["body_jaxpr"].jaxpr, while_trips,
+                         counts, scale * while_trips)
+            _count_jaxpr(eqn.params["cond_jaxpr"].jaxpr, while_trips,
+                         counts, scale * while_trips)
             continue
         if name == "cond":
             # count the most expensive branch (the kernel has no conds
@@ -107,25 +113,28 @@ def _count_jaxpr(jaxpr, while_trips: float, counts: dict):
             best = None
             for br in eqn.params["branches"]:
                 sub = {"alu": 0.0, "transcendental": 0.0, "unknown": 0.0}
-                _count_jaxpr(br.jaxpr, while_trips, sub)
-                if best is None or sum(sub.values()) > sum(best.values()):
+                _count_jaxpr(br.jaxpr, while_trips, sub, 1.0)
+                if best is None or (sub["alu"] + sub["transcendental"]
+                                    > best["alu"] + best["transcendental"]):
                     best = sub
-            for k in best:
-                counts[k] += best[k]
+            for k in ("alu", "transcendental", "unknown"):
+                counts[k] += scale * best[k]
+            counts.setdefault("unknown_prims", set()).update(
+                best.get("unknown_prims", ()))
             continue
         if name in _FREE:
             continue
         if name in _REDUCE:
-            counts["alu"] += sum(_aval_size(v) for v in eqn.invars
-                                 if hasattr(v, "aval"))
+            counts["alu"] += scale * sum(_aval_size(v) for v in eqn.invars
+                                         if hasattr(v, "aval"))
             continue
         size = max((_aval_size(v) for v in eqn.outvars), default=0)
         if name in _ALU:
-            counts["alu"] += size
+            counts["alu"] += scale * size
         elif name in _TRANSC:
-            counts["transcendental"] += size
+            counts["transcendental"] += scale * size
         else:
-            counts["unknown"] += size
+            counts["unknown"] += scale * size
             counts.setdefault("unknown_prims", set()).add(name)
 
 
@@ -167,57 +176,94 @@ def kernel_op_counts(scene, camera, spp: int, max_bounces: int,
     return counts
 
 
-def _calib_kernel(x_ref, o_ref, *, reps: int, transcendental: bool):
-    x = x_ref[...]
+_CALIB_UNROLL = 16
 
-    def body(i, v):
-        # two dependent FMAs per rep (4 ALU ops/lane/rep); the loop-carried
-        # dependence defeats CSE while staying issue-limited, not
-        # latency-limited (8 independent planes would be better, but the
-        # achieved rate already lands within noise of doubling reps).
+
+def _calib_kernel(reps_ref, x_ref, o_ref, *, transcendental: bool):
+    x = x_ref[...]
+    # reps is a RUNTIME scalar (SMEM): one compiled kernel serves every
+    # reps value — the tunneled backend's cold compiles are minutes each,
+    # and the difference method needs two reps points.
+    reps = reps_ref[0]
+
+    def one(v):
+        # two dependent FMAs (4 ALU ops/lane); the loop-carried dependence
+        # defeats CSE while the tile's vregs give independent chains.
         if transcendental:
             return jnp.sqrt(jnp.abs(v) + 1.5) * 0.5 + v * 0.25
         a = v * np.float32(1.000000119) + np.float32(1e-7)
         return a * np.float32(0.999999881) + np.float32(-1e-7)
 
+    def body(i, v):
+        # unrolled x16: the carry must be a handful of vregs (a big tile
+        # would spill the carry to VMEM every iteration and measure HBM/
+        # VMEM bandwidth instead of ALU issue), so amortize the dynamic
+        # loop's overhead with an unrolled register-resident body.
+        for _ in range(_CALIB_UNROLL):
+            v = one(v)
+        return v
+
     o_ref[...] = jax.lax.fori_loop(0, reps, body, x)
 
 
-def measure_vpu_rate(transcendental: bool = False, reps: int = 2048,
-                     shape=(512, 1024), iters: int = 3):
-    """Achieved per-chip VPU op rate (ops/s) through the full stack.
+def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
+                     shape=(64, 128), iters: int = 3):
+    """Achieved per-chip VPU op rate (ops/s), dispatch overhead removed.
 
-    Times a Pallas kernel doing ``reps`` loop rounds of 4 dependent ALU
-    ops (or 1 sqrt + 3 ALU when ``transcendental``) per lane per round on
-    an (8,128)-aligned VMEM tile. Returns ops/sec of the *measured* class
-    (per-round transcendental count is 1, ALU 4 or 3)."""
+    Times a Pallas kernel doing ``reps`` x 16-unrolled rounds of 4
+    dependent ALU ops (or 1 sqrt + 3 ALU when ``transcendental``) per
+    lane per round on a register-resident (8,128)-aligned tile, at
+    ``reps`` AND ``2*reps``, and takes the rate from the time DIFFERENCE
+    — cancelling the fixed per-dispatch cost (the tunneled backend adds
+    ~30 ms per invocation, which at small reps dominates and understates
+    the rate several-fold). Returns ops/s of the measured class
+    (per-round transcendental count 1, ALU 4, x unroll)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     interpret = jax.default_backend() != "tpu"
     if interpret:
         reps = min(reps, 8)
-    x = jnp.ones(shape, jnp.float32)
+
+    # the input tile is materialized ON DEVICE from a scalar salt: a fresh
+    # host-side array would add a 2 MB tunnel transfer inside the timed
+    # region, and a *constant* input would let the tunneled execution
+    # layer dedupe identical invocations (-> fake ~0 s).
     fn = jax.jit(
-        lambda x: pl.pallas_call(
-            partial(_calib_kernel, reps=reps, transcendental=transcendental),
-            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(x)
+        lambda r, s: jnp.sum(
+            pl.pallas_call(
+                partial(_calib_kernel, transcendental=transcendental),
+                out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(r, jnp.full(shape, s))
+        )
     )
-    force = jax.jit(lambda y: jnp.sum(y))
-    float(force(fn(x)))  # compile
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(force(fn(x)))
-        times.append(time.perf_counter() - t0)
-    sec = sorted(times)[len(times) // 2]
+
+    salt = [0]
+
+    def timed(r):
+        r = jnp.asarray([r], jnp.int32)
+
+        def run():
+            salt[0] += 1
+            s = jnp.float32(1.0 + salt[0] * 1e-6)
+            t0 = time.perf_counter()
+            float(fn(r, s))
+            return time.perf_counter() - t0
+
+        run()  # warm (compiles once for all reps values)
+        times = [run() for _ in range(iters)]
+        return sorted(times)[len(times) // 2]
+
+    t1 = timed(reps)
+    t2 = timed(2 * reps)
+    dt = max(t2 - t1, 1e-9)
     lanes = shape[0] * shape[1]
-    per_round = 1 if transcendental else 4
-    return lanes * reps * per_round / sec
+    per_round = (1 if transcendental else 4) * _CALIB_UNROLL
+    return lanes * reps * per_round / dt
 
 
 def sol_report(scene, camera, height: int, width: int, spp: int,

@@ -3,7 +3,15 @@
 
 Times the headline workload (glossy 1024^2, 8 bounces) at several tile
 shapes and prints one line per point. Used to pick DEFAULT_TILE /
-BWD_TILE; results are recorded in docs/PERFORMANCE.md.
+BWD_TILE; results are recorded in docs/PERFORMANCE.md — the default
+sweep lists below are exactly the points quoted there and in the
+DEFAULT_TILE / BWD_TILE comments, so the script reproduces those tables.
+
+Usage:
+    python scripts/tile_sweep.py [fwd|bwd|both] [THxTW ...]
+
+Explicit tiles override the default list, e.g.:
+    python scripts/tile_sweep.py fwd 32x128 64x256
 """
 
 import os
@@ -67,11 +75,23 @@ def time_bwd(tile, spp=16):
     print(f"bwd tile={tile}: {rays_per_render(H, W, spp, BOUNCES)/sec/1e9:.3f} Grays/s ({sec:.3f}s)", flush=True)
 
 
+# The sweep points documented in docs/PERFORMANCE.md and the
+# DEFAULT_TILE (ops/pallas_kernels.py) / BWD_TILE (ops/pallas_grad.py)
+# comments — running this script reproduces those tables.
+FWD_TILES = [(8, 128), (16, 128), (32, 128), (64, 128), (128, 128),
+             (32, 256)]
+BWD_TILES = [(8, 128), (16, 128), (32, 128), (64, 128), (32, 256),
+             (8, 512)]
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    explicit = [
+        tuple(int(x) for x in a.split("x")) for a in sys.argv[2:]
+    ]
     if which in ("fwd", "both"):
-        for tile in [(32, 128), (64, 128), (32, 256), (16, 128)]:
+        for tile in explicit or FWD_TILES:
             time_fwd(tile)
     if which in ("bwd", "both"):
-        for tile in [(8, 128), (16, 128), (8, 256)]:
+        for tile in explicit or BWD_TILES:
             time_bwd(tile)

@@ -119,3 +119,137 @@ def test_render_bounce_stats_metrics(tmp_path):
     assert len(recs) == 1
     assert len(recs[0]["hits"]) == 4
     assert sum(recs[0]["hits"]) > 0
+    # the record says which spp/engine the histogram was counted with
+    assert recs[0]["spp"] == 2 and recs[0]["engine"] == "core"
+
+
+def test_render_bounce_stats_physical_engine(tmp_path):
+    """--bounce-stats with the physical engine reports NEE visibility."""
+    from path_tracer_c_tpu.utils.metrics import MetricsLogger
+
+    mpath = tmp_path / "m.jsonl"
+    app.main([
+        "render", "--scene", "demo", "--width", "16", "--height", "8",
+        "--spp", "2", "--max-bounces", "2", "--engine", "physical",
+        "--out", str(tmp_path / "out.bmp"), "--metrics", str(mpath),
+        "--bounce-stats",
+    ])
+    (rec,) = [r for r in MetricsLogger.read(str(mpath))
+              if r["kind"] == "bounce_histogram"]
+    assert rec["engine"] == "physical"
+    assert len(rec["nee_candidates"]) == 3
+    assert sum(rec["nee_candidates"]) >= sum(rec["nee_visible"])
+    assert sum(rec["nee_candidates"]) > 0  # demo scene has a sun sphere
+
+
+def test_fit_checkpoint_resume_bit_identical(tmp_path):
+    """fit --checkpoint-path: interrupted-then-resumed == uninterrupted
+    (step-indexed seeds; utils/checkpoint.save_fit)."""
+    import jax.numpy as jnp
+    import path_tracer_c_tpu as pt
+    from path_tracer_c_tpu.grad import diff
+    from path_tracer_c_tpu.scene import demo
+
+    scene = demo.diffuse_sphere_scene()
+    cam = pt.Camera.reference()
+    h = w = 8
+    target = pt.render_radiance(scene, cam, h, w, 2, 2, jnp.uint32(77))
+
+    # uninterrupted 6 steps
+    ref_scene, ref_losses = diff.fit_materials(
+        scene, target, cam, h, w, 2, 2, steps=6, seed0=3
+    )
+
+    # interrupted at 3, resumed to 6 via checkpoint
+    ckpt = tmp_path / "fit.npz"
+    diff.fit_materials(
+        scene, target, cam, h, w, 2, 2, steps=3, seed0=3,
+        checkpoint_path=str(ckpt), checkpoint_every=1,
+    )
+    assert ckpt.exists()
+    res_scene, res_losses = diff.fit_materials(
+        scene, target, cam, h, w, 2, 2, steps=6, seed0=3,
+        checkpoint_path=str(ckpt), checkpoint_every=1,
+    )
+    assert res_losses == ref_losses
+    np.testing.assert_array_equal(
+        np.asarray(res_scene.materials.albedo),
+        np.asarray(ref_scene.materials.albedo),
+    )
+
+
+def test_fit_cli_checkpoint(tmp_path):
+    ckpt = tmp_path / "fit.npz"
+    app.main([
+        "fit", "--scene", "diffuse", "--width", "8", "--height", "8",
+        "--spp", "2", "--max-bounces", "2", "--steps", "3",
+        "--checkpoint-path", str(ckpt), "--checkpoint-every", "1",
+    ])
+    assert ckpt.exists()
+    from path_tracer_c_tpu.utils import checkpoint as ck
+
+    with np.load(ckpt) as z:
+        assert int(z["step"]) == 3
+        assert len(z["losses"]) == 3
+
+
+def test_progressive_preview_writes_intermediates(tmp_path, monkeypatch):
+    """--progressive rewrites the output after each chunk; the final image
+    equals the non-progressive render bit-for-bit."""
+    from path_tracer_c_tpu.utils import bitmap as bm
+
+    writes = []
+    real_write = bm.write_bitmap
+    monkeypatch.setattr(
+        bm, "write_bitmap",
+        lambda p, u8, y_inverted=False: (writes.append(str(p)),
+                                         real_write(p, u8, y_inverted))[1],
+    )
+    out = tmp_path / "prog.bmp"
+    app.main([
+        "render", "--scene", "diffuse", "--width", "16", "--height", "8",
+        "--spp", "4", "--max-bounces", "2", "--engine", "core",
+        "--out", str(out), "--progressive",
+    ])
+    # spp=4 -> checkpoint_every defaults to max(1, 4//8)=1 -> 3 previews
+    # + 1 final write
+    assert writes.count(str(out)) == 4
+
+    ref = tmp_path / "ref.bmp"
+    app.main([
+        "render", "--scene", "diffuse", "--width", "16", "--height", "8",
+        "--spp", "4", "--max-bounces", "2", "--engine", "core",
+        "--out", str(ref),
+    ])
+    assert out.read_bytes() == ref.read_bytes()
+
+
+def test_debug_nans_flag_catches_nan(tmp_path):
+    """--debug-nans raises on a scene that produces non-finite radiance;
+    the same render without the flag writes the (bad) image silently."""
+    import jax.numpy as jnp
+    import dataclasses
+    import path_tracer_c_tpu as pt
+    from path_tracer_c_tpu.scene import demo
+    from path_tracer_c_tpu.scene.io import save_scene
+
+    scene = demo.diffuse_sphere_scene()
+    bad = dataclasses.replace(
+        scene,
+        materials=dataclasses.replace(
+            scene.materials,
+            emission_strength=jnp.full_like(
+                scene.materials.emission_strength, jnp.nan
+            ),
+        ),
+    )
+    spath = tmp_path / "bad_scene.json"
+    save_scene(spath, bad)
+
+    args = [
+        "render", "--scene", str(spath), "--width", "16", "--height", "8",
+        "--spp", "1", "--max-bounces", "1", "--engine", "core",
+        "--out", str(tmp_path / "nan.bmp"),
+    ]
+    with pytest.raises(FloatingPointError):
+        app.main(args + ["--debug-nans"])
