@@ -56,11 +56,27 @@ DEFAULT_EPS_OFFSET = 1e-4  # rtx_frag.glsl:239,263
 EPS_OFFSET_SCALE = 4e-6  # extra offset per unit |hit point| (f32 round-off)
 
 
+def pvary_missing(tree, axes):
+    """Promote every leaf to varying over exactly ``axes`` (shard_map VMA).
+
+    Leaves may already vary over a subset (e.g. camera-ray origins carry
+    {tile} from ``row_start = axis_index``); ``pvary`` rejects re-adding
+    an axis, so promote only each leaf's complement."""
+
+    def one(x):
+        have = getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
+        need = tuple(a for a in axes if a not in have)
+        return jax.lax.pvary(x, need) if need else x
+
+    return jax.tree_util.tree_map(one, tree)
+
+
 def trace_paths(
     scene: Scene, origins, directions, state, max_bounces: int,
     variant: str = "gpu",
     remat: bool = False,
     collect_stats: bool = False,
+    vma_axes: tuple = (),
 ):
     """Estimate incident radiance for a wavefront of rays.
 
@@ -183,6 +199,13 @@ def trace_paths(
     thr = jnp.ones_like(origins)
     alive = jnp.ones((n,), dtype=bool)
     carry = (origins, directions, thr, total, alive, state)
+    if vma_axes:
+        # Under shard_map with the varying-axis checker ON, the scan's
+        # carry must enter with the VMA it will have after one step (the
+        # constant inits are mesh-invariant; the step mixes in varying
+        # scene/seed data). Explicit pvary keeps check_vma=True usable in
+        # parallel/render.py instead of disabling the checker wholesale.
+        carry = pvary_missing(carry, vma_axes)
     # remat: recompute each bounce in the backward pass, storing only the
     # O(N) carries — without it reverse-mode keeps every bounce's (N, S+T)
     # intersection intermediates alive and OOMs at production resolutions.
@@ -213,6 +236,7 @@ def render_tile(
     row_start=0,
     rows: int | None = None,
     variant: str = "gpu",
+    vma_axes: tuple = (),
 ):
     """Monte-Carlo radiance for a row block: (rows, W, 3) f32 mean over spp.
 
@@ -243,7 +267,8 @@ def render_tile(
         else:
             o, d = rays
         radiance, _ = trace_paths(
-            scene, o, d, st, max_bounces, variant=variant, remat=remat
+            scene, o, d, st, max_bounces, variant=variant, remat=remat,
+            vma_axes=vma_axes,
         )
         return radiance
 
@@ -254,6 +279,8 @@ def render_tile(
         return accum + one_sample(sample_idx), None
 
     init = jnp.zeros((rows * width, 3), jnp.float32)
+    if vma_axes:  # see trace_paths: sample-scan carry VMA under shard_map
+        init = pvary_missing(init, vma_axes)
     sample_ids = jnp.arange(spp, dtype=jnp.int32) + jnp.int32(sample_offset)
     accum, _ = jax.lax.scan(body, init, sample_ids)
     return (accum / spp).reshape(rows, width, 3)

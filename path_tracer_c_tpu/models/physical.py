@@ -89,6 +89,7 @@ def trace_paths_physical(
     max_bounces: int,
     nee: bool = True,
     collect_stats: bool = False,
+    vma_axes: tuple = (),
 ):
     """Physical-mode radiance estimate for a wavefront; see module doc.
 
@@ -293,6 +294,10 @@ def trace_paths_physical(
     alive = jnp.ones((n,), dtype=bool)
     prev_diff = jnp.zeros((n,), dtype=bool)
     carry = (origins, directions, thr, total, alive, prev_diff, state)
+    if vma_axes:  # scan-carry VMA under shard_map — see trace_paths
+        from .integrator import pvary_missing
+
+        carry = pvary_missing(carry, vma_axes)
     carry, stats = jax.lax.scan(step, carry, None, length=max_bounces + 1)
     o, d, thr, total, alive, prev_diff, st = carry
     total = total + jnp.where(alive[:, None], thr * sky, 0.0)
@@ -315,6 +320,7 @@ def render_physical(
     sample_offset=0,
     row_start=0,
     rows: int | None = None,
+    vma_axes: tuple = (),
 ):
     """Physical-mode radiance image (rows, W, 3); anti-aliasing jitter on
     by default (unlike the reference tier, which shoots identical primary
@@ -334,7 +340,7 @@ def render_physical(
         else:
             o, d = rays
         radiance, _ = trace_paths_physical(
-            scene, o, d, st, max_bounces, nee=nee
+            scene, o, d, st, max_bounces, nee=nee, vma_axes=vma_axes
         )
         return radiance
 
@@ -345,6 +351,10 @@ def render_physical(
         return accum + one_sample(sample_idx), None
 
     init = jnp.zeros((rows * width, 3), jnp.float32)
+    if vma_axes:  # see trace_paths_physical
+        from .integrator import pvary_missing
+
+        init = pvary_missing(init, vma_axes)
     sample_ids = jnp.arange(spp, dtype=jnp.int32) + jnp.int32(sample_offset)
     accum, _ = jax.lax.scan(body, init, sample_ids)
     return (accum / spp).reshape(rows, width, 3)

@@ -92,16 +92,22 @@ def render_sharded(
     elif engine != "core":
         raise ValueError(f"unknown engine {engine!r}")
 
-    # check_vma off: the bounce-scan carry starts replicated (camera rays)
-    # and becomes varying over (tile, spp) after one step, which the strict
-    # varying-axis checker rejects; correctness of the transpose psums is
-    # pinned by tests/test_parallel.py::test_sharded_gradient_matches_unsharded.
+    # The varying-axis checker is ON for the XLA engines: they take
+    # vma_axes=(tile, spp) and pvary their scan-carry inits (see
+    # models/integrator.trace_paths), so shard_map verifies every
+    # collective's mesh-axis bookkeeping. The Pallas engines run with the
+    # checker off — pallas_call's out_shape carries no VMA type, and the
+    # checker (correctly) refuses to guess; their sharded-vs-unsharded
+    # parity is pinned value-wise by tests/test_parallel.py instead.
+    vma = (TILE_AXIS, SPP_AXIS)
+    pallas_engine = engine in ("pallas", "physical_pallas")
+
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P(TILE_AXIS, None, None),
-        check_vma=False,
+        check_vma=not pallas_engine,
     )
     def _render(scene, seed):
         ti = jax.lax.axis_index(TILE_AXIS)
@@ -134,6 +140,7 @@ def render_sharded(
                 sample_offset=si * spp_local,
                 row_start=ti * rows_local,
                 rows=rows_local,
+                vma_axes=vma,
             )
         elif engine == "physical_pallas":
             img = render_physical_pallas_vjp(
@@ -163,6 +170,7 @@ def render_sharded(
                 sample_offset=si * spp_local,
                 row_start=ti * rows_local,
                 rows=rows_local,
+                vma_axes=vma,
             )
         return jax.lax.pmean(img, SPP_AXIS)
 
