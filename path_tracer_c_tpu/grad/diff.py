@@ -69,7 +69,24 @@ def render_loss(
     forward + hand-written backward on TPU (ops/pallas_grad.py) when the
     shapes allow, the XLA core path elsewhere — and WARNS when a TPU
     shape forces the ~100x-slower core backward, so the fallback is
-    never silent."""
+    never silent. ``engine="physical"``/``"physical_pallas"`` fit against
+    the physical BRDF/NEE tier (core AD / Pallas material backward)."""
+    if engine in ("physical", "physical_pallas"):
+        if engine == "physical_pallas":
+            from ..ops.pallas_physical import render_physical_pallas_vjp
+
+            img = render_physical_pallas_vjp(
+                scene, camera, height, width, spp, max_bounces, seed,
+                jitter=False,
+            )
+        else:
+            from ..models.physical import render_physical
+
+            img = render_physical(
+                scene, camera, height, width, spp, max_bounces, seed,
+                jitter=False, remat=True,
+            )
+        return mse_loss(img, target)
     use_pallas = engine == "pallas" or (
         engine == "auto"
         and jax.default_backend() == "tpu"
@@ -197,6 +214,7 @@ def fit_materials(
     callback=None,
     checkpoint_path=None,
     checkpoint_every: int = 0,
+    engine: str = "auto",
 ):
     """Recover albedo + emission from a target image (BASELINE config 4).
 
@@ -205,7 +223,8 @@ def fit_materials(
     would overfit one path realization). ``checkpoint_path`` /
     ``checkpoint_every`` persist optimizer state every N steps; an
     existing checkpoint resumes bit-identically (step-indexed seeds).
-    Returns ``(scene, losses)``.
+    ``engine`` selects the differentiable render path (see
+    :func:`render_loss`). Returns ``(scene, losses)``.
     """
 
     params = make_material_params(scene_init)
@@ -217,7 +236,8 @@ def fit_materials(
         def loss_fn(p):
             sc = apply_material_params(scene_init, p)
             return render_loss(
-                sc, target, camera, height, width, spp, max_bounces, seed
+                sc, target, camera, height, width, spp, max_bounces, seed,
+                engine=engine,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -280,15 +300,19 @@ def fit_geometry(
     callback=None,
     checkpoint_path=None,
     checkpoint_every: int = 0,
+    engine: str = "physical",
 ):
     """Recover sphere geometry (center + radius) from a target image.
 
     Runs the physical-tier estimator (the only tier with continuous
-    geometry dependence) under core-path AD — the Pallas physical VJP is
-    materials-only by contract (ops/pallas_physical.py). Interior
-    gradients only: visibility-edge (silhouette) gradients are not
-    modeled, so convergence relies on shading/NEE terms — adequate for
-    light-source recovery (tested). Returns ``(scene, losses)``.
+    geometry dependence). ``engine="physical"`` (default) uses core-path
+    AD — complete interior gradients. ``engine="physical_pallas"`` uses
+    the fast Pallas kernel pair, whose backward carries the NEE
+    emitter-geometry chain (center/radius through the cone weight —
+    ops/pallas_physical.py): valid when the fitted spheres are the
+    emissive ones, as in light-source recovery. Interior gradients only in
+    both engines: visibility-edge (silhouette) gradients are not modeled.
+    Returns ``(scene, losses)``.
     """
     from ..models.physical import render_physical
 
@@ -301,10 +325,18 @@ def fit_geometry(
     def step(params, opt_state, seed):
         def loss_fn(p):
             sc = apply_geometry_params(scene_init, p, sphere_indices)
-            img = render_physical(
-                sc, camera, height, width, spp, max_bounces, seed,
-                nee=True, jitter=False, remat=True,
-            )
+            if engine == "physical_pallas":
+                from ..ops.pallas_physical import render_physical_pallas_vjp
+
+                img = render_physical_pallas_vjp(
+                    sc, camera, height, width, spp, max_bounces, seed,
+                    nee=True, jitter=False,
+                )
+            else:
+                img = render_physical(
+                    sc, camera, height, width, spp, max_bounces, seed,
+                    nee=True, jitter=False, remat=True,
+                )
             return mse_loss(img, target)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -63,10 +63,15 @@ def pvary_missing(tree, axes):
     {tile} from ``row_start = axis_index``); ``pvary`` rejects re-adding
     an axis, so promote only each leaf's complement."""
 
+    if hasattr(jax.lax, "pcast"):  # jax.lax.pvary deprecated in favor of pcast
+        _pvary = lambda x, need: jax.lax.pcast(x, need, to="varying")
+    else:  # pragma: no cover - older JAX
+        _pvary = jax.lax.pvary
+
     def one(x):
         have = getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
         need = tuple(a for a in axes if a not in have)
-        return jax.lax.pvary(x, need) if need else x
+        return _pvary(x, need) if need else x
 
     return jax.tree_util.tree_map(one, tree)
 

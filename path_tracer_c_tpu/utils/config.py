@@ -39,7 +39,11 @@ class RenderConfig:
     seed: int = 0
     scene: str = "demo"  # name in scene.demo or a scene JSON path
     jitter: bool = False  # reference shoots identical primary rays
-    engine: str = "pallas"  # "pallas" | "core" | "physical"
+    # "pallas" | "core" | "physical" | "physical_pallas" | "split".
+    # "physical" auto-upgrades to the Pallas physical megakernel on TPU
+    # when the (possibly mesh-sharded) shapes tile; "physical_pallas"
+    # forces it (interpreter mode off-TPU — slow, for validation only).
+    engine: str = "pallas"
     tile_h: int = 128
     tile_w: int = 128
     output: str = "output.bmp"  # src/main.c:329

@@ -190,7 +190,11 @@ def _calib_kernel(reps_ref, x_ref, o_ref, *, transcendental: bool):
         # two dependent FMAs (4 ALU ops/lane); the loop-carried dependence
         # defeats CSE while the tile's vregs give independent chains.
         if transcendental:
-            return jnp.sqrt(jnp.abs(v) + 1.5) * 0.5 + v * 0.25
+            # 1 sqrt + 1 ALU add per round (fixed point v ~= 1.686, so the
+            # chain stays bounded); the add's time is subtracted at the
+            # measured ALU rate by measure_vpu_rate (ADVICE r2: crediting
+            # mixed rounds entirely to the sqrt understated transc_rate).
+            return jnp.sqrt(v + 1.5)
         a = v * np.float32(1.000000119) + np.float32(1e-7)
         return a * np.float32(0.999999881) + np.float32(-1e-7)
 
@@ -207,17 +211,21 @@ def _calib_kernel(reps_ref, x_ref, o_ref, *, transcendental: bool):
 
 
 def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
-                     shape=(64, 128), iters: int = 3):
+                     shape=(64, 128), iters: int = 3,
+                     alu_rate: float | None = None):
     """Achieved per-chip VPU op rate (ops/s), dispatch overhead removed.
 
     Times a Pallas kernel doing ``reps`` x 16-unrolled rounds of 4
-    dependent ALU ops (or 1 sqrt + 3 ALU when ``transcendental``) per
+    dependent ALU ops (or 1 sqrt + 1 ALU add when ``transcendental``) per
     lane per round on a register-resident (8,128)-aligned tile, at
     ``reps`` AND ``2*reps``, and takes the rate from the time DIFFERENCE
     — cancelling the fixed per-dispatch cost (the tunneled backend adds
     ~30 ms per invocation, which at small reps dominates and understates
-    the rate several-fold). Returns ops/s of the measured class
-    (per-round transcendental count 1, ALU 4, x unroll)."""
+    the rate several-fold). In transcendental mode, pass the measured
+    ``alu_rate`` so the round's 1 ALU add is subtracted at that rate and
+    the returned rate reflects the sqrt alone (ADVICE r2); without it the
+    add is conservatively left in (rate slightly understated, never
+    overstated)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -263,6 +271,10 @@ def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
     dt = max(t2 - t1, 1e-9)
     lanes = shape[0] * shape[1]
     per_round = (1 if transcendental else 4) * _CALIB_UNROLL
+    if transcendental and alu_rate:
+        # remove the round's 1 ALU add at the measured ALU rate
+        alu_ops = lanes * reps * 1 * _CALIB_UNROLL
+        dt = max(dt - alu_ops / alu_rate, 1e-9)
     return lanes * reps * per_round / dt
 
 
@@ -290,7 +302,8 @@ def sol_report(scene, camera, height: int, width: int, spp: int,
     if alu_rate is None:
         alu_rate = measure_vpu_rate(transcendental=False)
     if transc_rate is None:
-        transc_rate = measure_vpu_rate(transcendental=True)
+        transc_rate = measure_vpu_rate(transcendental=True,
+                                       alu_rate=alu_rate)
     sol_seconds = alu / alu_rate + transc / transc_rate
     return {
         "alu_ops": alu,

@@ -76,21 +76,32 @@ def test_split_mean_matches_single_path_and_reduces_variance():
     """At t = 0.5 the two estimators share an expectation (convex split
     vs unbiased branch pick) and the split has strictly lower variance.
     K independent 1-spp renders per estimator; compare per-pixel means
-    within MC error and mean per-pixel variances."""
+    within MC error and mean per-pixel variances.
+
+    The K renders run as ONE jitted vmap batch per estimator (not K
+    traced calls): round-2 review found the full suite segfaulting in
+    XLA's CPU compiler at this test after ~118 green tests — 96 separate
+    traces of render_split's level-doubling scan graph on top of the
+    suite's accumulated compile state tickled a compiler crash, and also
+    took ~7 minutes. One compile per estimator avoids both.
+    """
+    import jax
+
     scene = _split_scene(transparency=0.5, roughness=0.3)
     h, w, bounces = 6, 8, 3
     cam = pt.Camera.reference()
     K = 96
-    split_runs = np.stack([
-        np.asarray(render_split(scene, cam, h, w, 1, bounces,
-                                jnp.uint32(1000 + k)))
-        for k in range(K)
-    ])
-    single_runs = np.stack([
-        np.asarray(render_radiance(scene, cam, h, w, 1, bounces,
-                                   jnp.uint32(1000 + k)))
-        for k in range(K)
-    ])
+    seeds = jnp.arange(1000, 1000 + K, dtype=jnp.uint32)
+    split_runs = np.asarray(
+        jax.jit(jax.vmap(
+            lambda s: render_split(scene, cam, h, w, 1, bounces, s)
+        ))(seeds)
+    )
+    single_runs = np.asarray(
+        jax.jit(jax.vmap(
+            lambda s: render_radiance(scene, cam, h, w, 1, bounces, s)
+        ))(seeds)
+    )
     m_split = split_runs.mean(0)
     m_single = single_runs.mean(0)
     v_split = split_runs.var(0)
