@@ -1,41 +1,61 @@
-"""Hand-written Pallas backward kernel for the path-trace estimator.
+"""Fused primal + Jacobian Pallas kernel for the path-trace VJP.
 
-Reverse-mode through the XLA core integrator is HBM-bound (it materializes
-per-bounce rays-x-objects intermediates) and ~100x slower than the Pallas
-forward. This kernel computes the exact same VJP at megakernel speed by
-exploiting the estimator's structure (see grad/diff.py):
+Reverse-mode through the XLA core integrator is HBM-bound and ~100x
+slower than the Pallas forward. Round 2 paired the forward megakernel
+with a separate replay + suffix-sweep backward kernel — correct, but the
+VJP then paid the forward TWICE (standalone primal + the backward's
+replay): ~2.8 forward-equivalents of kernel time. This round fuses them:
+**one kernel emits the primal image AND a per-pixel material Jacobian**,
+and the backward becomes a tiny XLA contraction of the upstream cotangent
+``g`` with that Jacobian — ~1.5 forward-equivalents total.
 
-per sample, radiance is ``total[c] = sum_b P_b[c] * E_b[c] +
-P_end[c] * sky[c]`` where ``P_b`` is the prefix product of
-``albedo * ratio`` along the path and ``E_b`` is the bounce's emission
-(or sky on a miss). All *continuous* scene dependence lives in the
-albedo/emission/transparency/sky factors — material indices, hit
-distances, normals and directions enter only through discrete events, so
-their cotangents are exactly zero (the AD tests pin this down). The VJP
-therefore reduces to prefix/suffix product sweeps:
+Why a per-pixel Jacobian is exact and small: per sample, radiance is
+``total[c] = sum_b P_b[c] * E_b[c] + P_end[c] * sky[c]`` where ``P_b`` is
+the prefix product of ``albedo * ratio`` along the path and ``E_b`` the
+bounce's emission (or sky on a miss). All *continuous* scene dependence
+lives in the albedo/emission/transparency/sky factors — material indices,
+hit distances, normals and directions enter only through discrete events,
+so their cotangents are exactly zero (the AD tests pin this down). Every
+material cotangent is therefore **linear in g** with per-pixel weights:
 
-1. **Replay** the forward path (identical RNG counters), storing per
-   bounce in VMEM: the prefix throughput ``P_b``, the material index, and
-   the hit / miss / TIR-death / refract-choice masks.
-2. **Suffix sweep** b = B..0 with the carry ``T_b[c]`` = cotangent of the
-   throughput *after* bounce b's multiply:
-   ``T_{b-1} = Le_b + albedo_b * T_b`` on surviving lanes, ``0`` after a
-   TIR death, ``sky`` at a miss; per bounce accumulate
-   ``d_albedo[m_b] += g * P_b * T_b``, ``d_eco[m_b] += g * P_b * est``,
-   ``d_est[m_b] += sum_c g * P_b * eco``, ``d_sky += g * P_b`` (miss),
-   and the transparency term through the ratio reparameterization.
+    d_albedo[m,c]   = sum_p g[p,c] * A[m,c,p] / spp
+    d_eco[m,c]      = es_m  * sum_p g[p,c] * S[m,c,p] / spp
+    d_est[m]        = sum_c ec_mc * sum_p g[p,c] * S[m,c,p] / spp
+    d_transp[m]     = sum_c al_mc * sum_p g[p,c] * R[m,c,p] / spp
+    d_sky[c]        = sum_p g[p,c] * K[c,p] / spp
 
-Per-material accumulation uses (M, 3, TH, TW) VMEM planes (masked adds in
-an M-loop — no gathers), reduced to scalars once per tile and summed
-across grid programs into a single (M, 8)+sky output block.
+with the weight planes accumulated over samples and bounces:
 
-Supports the default "gpu" variant, with or without anti-aliasing jitter
-and row-block sharding (``row_start``/``rows``); the "cpu" tier (whose
-per-sample clamp breaks the product structure) falls back to core-path AD.
+    A[m,c] = sum_b [mat_b=m, hit] P_b[c] * T_b[c]       (albedo)
+    S[m,c] = sum_b [mat_b=m, hit] P_b[c]                (emission)
+    R[m,c] = sum_b [mat_b=m, hit] P_b[c] * T_b[c] * dr_b (transparency,
+             ratio reparameterization: dr = 1/t on refract, -1/(1-t) on
+             reflect)
+    K[c]   = sum_b [miss] P_b[c]  +  P_end[c]           (sky)
+
+``T_b[c]`` — the suffix "radiance collected after bounce b per unit
+throughput" — is built by the same in-kernel suffix sweep as before
+(``T_{b-1} = Le_b + albedo_b * T_b`` on surviving lanes, 0 after a TIR
+death, sky at a miss), from per-bounce VMEM stores made while the kernel
+runs the forward once (the forward IS the replay now, and also emits the
+primal tile). The zero-albedo subtlety is preserved: a lane killed by an
+exactly-zero albedo has P == 0 downstream yet its albedo cotangent
+``g*P_b*T_b`` needs ``T_b`` built from the future path, so the bounce
+loop exits only on *structural* deaths (miss / TIR), never on zero
+throughput.
+
+``jax.grad`` through :func:`pallas_kernels.render_pallas_vjp` runs the
+fused kernel in the custom_vjp's fwd rule (primal + Jacobian residual,
+~1.4x a plain forward) and the contraction in the bwd rule (~free), so
+fwd+bwd no longer re-traces a single ray. Supports the default "gpu"
+variant, with or without anti-aliasing jitter and row-block sharding
+(``row_start``/``rows``); the "cpu" tier (whose per-sample clamp breaks
+the product structure) falls back to core-path AD.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import numpy as np
@@ -48,37 +68,43 @@ from ..scene.scene import Scene
 from ..ops.camera import Camera
 from . import pallas_kernels as fk
 
-__all__ = ["render_pallas_bwd", "BWD_TILE"]
+__all__ = [
+    "render_pallas_fused", "render_pallas_bwd", "contract_jacobian",
+    "BWD_TILE",
+]
 
-# Tile sweep on v5e (1024^2/16spp/8bounce glossy, Grays/s): (8,128) 0.54,
-# (16,128) 0.94, (32,128) 1.27, (64,128) 1.32, (32,256) 1.31, (8,512)
-# 1.24. Unlike the forward, bigger tiles keep winning: the replay's
-# per-bounce stores live in VMEM scratch (not loop-carried vregs), so
-# large tiles amortize the suffix sweep's per-material accumulator loop
-# instead of spilling. (64,128) is past the knee; VMEM scratch there is
-# ~4 MB of the ~16 MB budget at 8 bounces.
+# Fused-kernel tile. Like the round-2 backward, per-bounce stores live in
+# VMEM scratch (not loop-carried vregs), so larger tiles amortize the
+# per-material accumulator loop; the n_mat-dependent Jacobian output block
+# bounds it (see _fit_tile).
 BWD_TILE = (64, 128)
 
+# Per-material Jacobian planes: A[3] + S[3] + R[3] (module docstring).
+_MAT_J_PLANES = 9
+# Per-bounce replay scratch planes: P[3] + masks[3] + albedo[3] + Le[3] +
+# dr[1] (+ the i32 material plane).
+_BOUNCE_PLANES = 14
 
-def _bwd_kernel(
+
+def _fused_kernel(
     sph_c, sph_r, sph_m, sph_a,
     tri_v0, tri_v1, tri_v2, tri_n, tri_m, tri_a,
     m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
     par_f, par_i,
-    g_ref,  # (3, TH, TW) cotangent of the radiance image (mean over spp)
-    out_ref,  # (M+1, 8) accumulated cotangents; row M = sky (cols 0..2)
+    img_ref,  # (3, TH, TW) VMEM: primal radiance tile (mean over spp)
+    j_ref,  # (9*M + 3, TH, TW) VMEM: Jacobian planes; last 3 = sky K
     # scratch
     p_store,  # (B+1, 3, TH, TW) prefix throughput at Le time
-    mk_store,  # (B+1, 4, TH, TW) masks: hit, miss, tir, refr (f32 0/1)
+    mk_store,  # (B+1, 3, TH, TW) masks: hit, miss, tir (f32 0/1)
     mat_store,  # (B+1, TH, TW) i32 material index
-    acc,  # (M, 8, TH, TW) per-material cotangent planes
-    sky_acc,  # (3, TH, TW)
+    alb_store,  # (B+1, 3, TH, TW) hit material's albedo
+    le_store,  # (B+1, 3, TH, TW) hit material's emission (eco * est)
+    dr_store,  # (B+1, TH, TW) transparency ratio derivative
     *,
     th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
-    first = (ti == 0) & (tj == 0)
 
     tan2 = par_f[0, 0]
     aspect = par_f[0, 1]
@@ -111,34 +137,30 @@ def _bwd_kernel(
 
     zero = jnp.zeros((th, tw), jnp.float32)
     ones = jnp.ones((th, tw), jnp.float32)
+    n_j = _MAT_J_PLANES * n_mat + 3
 
-    # The incoming cotangent is for the spp-mean image.
-    inv_spp = jnp.float32(1.0 / spp)
-    g_r = g_ref[0] * inv_spp
-    g_g = g_ref[1] * inv_spp
-    g_b = g_ref[2] * inv_spp
-
-    # zero the per-tile accumulators
-    for c in range(3):
-        sky_acc[c] = zero
-    def zero_acc(mi, _):
-        for k in range(8):
-            acc[mi, k] = zero
+    # zero the Jacobian output block (accumulated across samples/bounces)
+    def zero_j(k, _):
+        j_ref[k] = zero
         return 0
-    jax.lax.fori_loop(0, n_mat, zero_acc, 0)
 
-    closest_hit, _, _ = fk.make_geometry(
+    jax.lax.fori_loop(0, n_j, zero_j, 0)
+
+    closest_hit, fetch_materials, _ = fk.make_geometry(
         sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
         tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
         (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat,
     )
 
-    hit0 = None if jitter else closest_hit(
-        jnp.full((th, tw), cox), jnp.full((th, tw), coy),
-        jnp.full((th, tw), coz), pdx, pdy, pdz,
-    )
+    cam_ox = jnp.full((th, tw), cox)
+    cam_oy = jnp.full((th, tw), coy)
+    cam_oz = jnp.full((th, tw), coz)
+    if not jitter:
+        hit0 = closest_hit(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
+        mats0 = fetch_materials(hit0[4])
 
-    def sample_body(s, carry):
+    def sample_body(s, acc_img):
+        acc_r, acc_g, acc_b = acc_img
         sample = (s + sample_offset).astype(jnp.uint32)
         st = (
             pix * fk._u32(0x9E3779B9)
@@ -165,30 +187,29 @@ def _bwd_kernel(
         else:
             sdx, sdy, sdz = pdx, pdy, pdz
 
-        # ---- replay forward, storing per-bounce data ----
+        # ---- forward (= replay), storing per-bounce data + radiance ----
         def fwd_body(b, fc):
-            # Dead lanes replay garbage, but every contribution their
-            # garbage could make to the accumulators is multiplied by the
-            # stored prefix P == 0, and the suffix sweep's carry for a
-            # dead lane is re-anchored at the bounce where the real death
-            # event is stored, so later corruption never propagates past
-            # it. Unlike the forward kernel, the replay CANNOT terminate
-            # on zero throughput: a lane killed by an exactly-zero albedo
-            # has P == 0 downstream yet its albedo cotangent g*P_b*T_b
-            # needs T_b built from the *untraced future* path, so the
-            # replay tracks structural deaths (miss / TIR) in a separate
-            # ``done`` plane (f32 0/1 — Mosaic can't carry i1 vectors) and
-            # only those end it.
-            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rng, done) = fc
+            # Dead lanes trace garbage, but every contribution their
+            # garbage could make is multiplied by the stored prefix
+            # P == 0, and the suffix sweep's carry for a dead lane is
+            # re-anchored at the bounce where the real death event is
+            # stored, so later corruption never propagates past it. The
+            # bounce loop CANNOT exit on zero throughput: a lane killed by
+            # an exactly-zero albedo has P == 0 downstream yet its albedo
+            # cotangent g*P_b*T_b needs T_b built from the *untraced
+            # future* path, so only structural deaths (miss / TIR) end it
+            # — tracked in ``done`` (f32 0/1; Mosaic can't carry i1
+            # vectors).
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab, rng, done) = fc
             if jitter:
-                # per-sample primary rays: nothing to hoist
-                bt, nx, ny, nz, mat = closest_hit(ox, oy, oz, dx, dy, dz)
+                hit = closest_hit(ox, oy, oz, dx, dy, dz)
             else:
-                bt, nx, ny, nz, mat = jax.lax.cond(
+                hit = jax.lax.cond(
                     b == 0,
                     lambda: hit0,
                     lambda: closest_hit(ox, oy, oz, dx, dy, dz),
                 )
+            bt, nx, ny, nz, mat = hit
             hitmask = bt < fk._INF
 
             p_store[b, 0] = tr
@@ -196,27 +217,26 @@ def _bwd_kernel(
             p_store[b, 2] = tb
             mat_store[b] = mat
 
-            # material fetch (albedo, roughness, transparency, ior)
-            alb_r = zero; alb_g = zero; alb_b = zero
-            rgh = zero; trn = zero
-            ior = ones
-
-            def mat_body(mi, c):
-                ar_, ag_, ab_, rg_, tn_, io_ = c
-                msk = mat == mi
-                return (
-                    jnp.where(msk, m_alb[mi, 0], ar_),
-                    jnp.where(msk, m_alb[mi, 1], ag_),
-                    jnp.where(msk, m_alb[mi, 2], ab_),
-                    jnp.where(msk, m_rgh[mi, 0], rg_),
-                    jnp.where(msk, m_trn[mi, 0], tn_),
-                    jnp.where(msk, m_ior[mi, 0], io_),
+            if jitter:
+                mats = fetch_materials(mat)
+            else:
+                mats = jax.lax.cond(
+                    b == 0, lambda: mats0, lambda: fetch_materials(mat)
                 )
+            (alb_r, alb_g, alb_b, em_r, em_g, em_b, rgh, trn, ior) = mats
+            alb_store[b, 0] = alb_r
+            alb_store[b, 1] = alb_g
+            alb_store[b, 2] = alb_b
+            le_store[b, 0] = em_r
+            le_store[b, 1] = em_g
+            le_store[b, 2] = em_b
 
-            alb_r, alb_g, alb_b, rgh, trn, ior = jax.lax.fori_loop(
-                0, n_mat, mat_body, (alb_r, alb_g, alb_b, rgh, trn, ior)
-            )
-
+            # primal: sky on miss, Le then albedo on hit
+            # (rtx_frag.glsl:226-230); miss lanes terminate by zeroed
+            # throughput.
+            ar = ar + jnp.where(hitmask, tr * em_r, tr * sky_r)
+            ag = ag + jnp.where(hitmask, tg * em_g, tg * sky_g)
+            ab = ab + jnp.where(hitmask, tb * em_b, tb * sky_b)
             tr = jnp.where(hitmask, tr * alb_r, 0.0)
             tg = jnp.where(hitmask, tg * alb_g, 0.0)
             tb = jnp.where(hitmask, tb * alb_b, 0.0)
@@ -257,17 +277,24 @@ def _bwd_kernel(
             ndz = jnp.where(choose_refr, txz, rfz)
             died = choose_refr & tirm
 
-            # Dead lanes store garbage events here, but the sweep multiplies
-            # every accumulator contribution by their stored P == 0 and
-            # re-anchors the carry at the real death event (see fwd_body
-            # docstring), so un-gated stores are exact.
+            # Dead lanes store garbage events here, but the sweep
+            # multiplies every contribution by their stored P == 0 and
+            # re-anchors the carry at the real death event, so un-gated
+            # stores are exact.
             mk_store[b, 0] = jnp.where(hitmask, 1.0, 0.0)
             mk_store[b, 1] = jnp.where(hitmask, 0.0, 1.0)
             mk_store[b, 2] = jnp.where(died & hitmask, 1.0, 0.0)
-            mk_store[b, 3] = jnp.where(choose_refr, 1.0, 0.0)
+            # transparency ratio derivative (reparameterization): the
+            # estimator's per-bounce factor is albedo * ratio with
+            # ratio = t/t_detached (refract) or (1-t)/(1-t)_detached.
+            dr_store[b] = jnp.where(
+                choose_refr,
+                1.0 / jnp.maximum(trn, 1e-6),
+                -1.0 / jnp.maximum(1.0 - trn, 1e-6),
+            )
 
             # Structural death this bounce: miss or TIR. Zero albedo is
-            # NOT a death for the replay (see fwd_body docstring).
+            # NOT a death (see fwd_body docstring).
             done = jnp.maximum(done, jnp.where(hitmask & ~died, 0.0, 1.0))
 
             tr = jnp.where(died, 0.0, tr)
@@ -285,122 +312,122 @@ def _bwd_kernel(
             )
             side = jnp.where(ndx * nx + ndy * ny + ndz * nz >= 0.0, 1.0, -1.0)
             return (px + offs * side * nx, py + offs * side * ny,
-                    pz + offs * side * nz, ndx, ndy, ndz, tr, tg, tb, rng,
-                    done)
+                    pz + offs * side * nz, ndx, ndy, ndz, tr, tg, tb,
+                    ar, ag, ab, rng, done)
 
         # Pre-zero the per-bounce masks so bounces skipped by the early
         # exit read as "no event" in the suffix sweep.
         def zero_masks(b, _):
-            for k in range(4):
+            for k in range(3):
                 mk_store[b, k] = zero
             return 0
 
         jax.lax.fori_loop(0, max_bounces + 1, zero_masks, 0)
 
         fc0 = (
-            jnp.full((th, tw), cox), jnp.full((th, tw), coy),
-            jnp.full((th, tw), coz), sdx, sdy, sdz,
-            ones, ones, ones, st, zero,
+            cam_ox, cam_oy, cam_oz, sdx, sdy, sdz,
+            ones, ones, ones, zero, zero, zero, st, zero,
         )
 
-        # Early exit only once every lane has a *structural* death event
-        # (miss/TIR) on record — zero-throughput lanes keep replaying so
-        # the suffix carry they need is built (ADVICE r1: black-albedo
-        # gradients were ~2x wrong under the throughput-based exit).
         def w_cond(c):
             b, fc = c
-            return (b < max_bounces + 1) & (jnp.min(fc[10]) < 1.0)
+            return (b < max_bounces + 1) & (jnp.min(fc[13]) < 1.0)
 
         def w_body(c):
             b, fc = c
             return b + 1, fwd_body(b, fc)
 
         _, fc = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), fc0))
-        (_, _, _, _, _, _, tr_e, tg_e, tb_e, _, _) = fc
+        (_, _, _, _, _, _, tr_e, tg_e, tb_e, ar, ag, ab, _, _) = fc
 
-        # exhausted lanes: total += P_end * sky -> d_sky += g * P_end
-        # (dead lanes carry P == 0, so no mask is needed)
-        sky_acc[0] = sky_acc[0] + g_r * tr_e
-        sky_acc[1] = sky_acc[1] + g_g * tg_e
-        sky_acc[2] = sky_acc[2] + g_b * tb_e
+        # bounce budget exhausted -> sky, both for the primal and for the
+        # sky weight K (dead lanes carry P == 0, so no mask is needed).
+        # Sum into ar BEFORE the accumulator add — the same association
+        # the forward kernel uses, keeping the primal bit-identical.
+        ar = ar + tr_e * sky_r
+        ag = ag + tg_e * sky_g
+        ab = ab + tb_e * sky_b
+        acc_r = acc_r + ar
+        acc_g = acc_g + ag
+        acc_b = acc_b + ab
+        sky_base = _MAT_J_PLANES * n_mat
+        j_ref[sky_base + 0] = j_ref[sky_base + 0] + tr_e
+        j_ref[sky_base + 1] = j_ref[sky_base + 1] + tg_e
+        j_ref[sky_base + 2] = j_ref[sky_base + 2] + tb_e
 
-        # ---- suffix sweep ----
+        # ---- suffix sweep: build T_b and accumulate Jacobian planes ----
         def bwd_body(i, T):
             b = max_bounces - i
             Tr, Tg, Tb = T
             hitm = mk_store[b, 0] > 0.0
             missm = mk_store[b, 1] > 0.0
             tirm = mk_store[b, 2] > 0.0
-            refrm = mk_store[b, 3] > 0.0
             mat = mat_store[b]
-            Pr = p_store[b, 0]
-            Pg = p_store[b, 1]
-            Pb_ = p_store[b, 2]
+            # Every read of the replay stores must be jnp.where-SELECTED
+            # by its event mask, never mask-multiplied: bounces skipped by
+            # the early exit leave their scratch uninitialized (NaN in
+            # VMEM), and 0 * NaN is NaN — only the masks are pre-zeroed.
+            Pr = jnp.where(hitm | missm, p_store[b, 0], 0.0)
+            Pg = jnp.where(hitm | missm, p_store[b, 1], 0.0)
+            Pb_ = jnp.where(hitm | missm, p_store[b, 2], 0.0)
 
             # TIR lanes have no downstream throughput cotangent.
             Tr_h = jnp.where(tirm, 0.0, Tr)
             Tg_h = jnp.where(tirm, 0.0, Tg)
             Tb_h = jnp.where(tirm, 0.0, Tb)
 
-            # d_sky from misses at this bounce.
-            sky_acc[0] = sky_acc[0] + jnp.where(missm, g_r * Pr, 0.0)
-            sky_acc[1] = sky_acc[1] + jnp.where(missm, g_g * Pg, 0.0)
-            sky_acc[2] = sky_acc[2] + jnp.where(missm, g_b * Pb_, 0.0)
+            # sky weight K from misses at this bounce
+            sky_base = _MAT_J_PLANES * n_mat
+            mr = jnp.where(missm, Pr, 0.0)
+            mg = jnp.where(missm, Pg, 0.0)
+            mb = jnp.where(missm, Pb_, 0.0)
+            j_ref[sky_base + 0] = j_ref[sky_base + 0] + mr
+            j_ref[sky_base + 1] = j_ref[sky_base + 1] + mg
+            j_ref[sky_base + 2] = j_ref[sky_base + 2] + mb
 
-            # per-lane cotangent pieces (hit lanes only)
-            cAr = jnp.where(hitm, g_r * Pr * Tr_h, 0.0)
-            cAg = jnp.where(hitm, g_g * Pg * Tg_h, 0.0)
-            cAb = jnp.where(hitm, g_b * Pb_ * Tb_h, 0.0)
-            gPr = jnp.where(hitm, g_r * Pr, 0.0)
-            gPg = jnp.where(hitm, g_g * Pg, 0.0)
-            gPb = jnp.where(hitm, g_b * Pb_, 0.0)
+            # per-lane weight pieces (hit lanes only)
+            cAr = jnp.where(hitm, Pr * Tr_h, 0.0)
+            cAg = jnp.where(hitm, Pg * Tg_h, 0.0)
+            cAb = jnp.where(hitm, Pb_ * Tb_h, 0.0)
+            cSr = jnp.where(hitm, Pr, 0.0)
+            cSg = jnp.where(hitm, Pg, 0.0)
+            cSb = jnp.where(hitm, Pb_, 0.0)
+            dr = jnp.where(hitm, dr_store[b], 0.0)
+            cRr = cAr * dr
+            cRg = cAg * dr
+            cRb = cAb * dr
 
-            # accumulate per material and build the carry pieces
-            def mat_body(mi, c):
-                Lr, Lg, Lb, Ar, Ag, Ab, Tn = c
-                msk = mat == mi
-                alr, alg, alb_ = m_alb[mi, 0], m_alb[mi, 1], m_alb[mi, 2]
-                ecr, ecg, ecb = m_eco[mi, 0], m_eco[mi, 1], m_eco[mi, 2]
-                es = m_est[mi, 0]
-                tn = m_trn[mi, 0]
-                mskf = jnp.where(msk & hitm, 1.0, 0.0)
-                # albedo cotangent
-                acc[mi, 0] = acc[mi, 0] + mskf * cAr
-                acc[mi, 1] = acc[mi, 1] + mskf * cAg
-                acc[mi, 2] = acc[mi, 2] + mskf * cAb
-                # emission color / strength cotangents (E_b = eco * est)
-                acc[mi, 3] = acc[mi, 3] + mskf * gPr * es
-                acc[mi, 4] = acc[mi, 4] + mskf * gPg * es
-                acc[mi, 5] = acc[mi, 5] + mskf * gPb * es
-                acc[mi, 6] = acc[mi, 6] + mskf * (
-                    gPr * ecr + gPg * ecg + gPb * ecb
-                )
-                # transparency via the ratio reparameterization
-                cot_ratio = cAr * alr + cAg * alg + cAb * alb_
-                dr = jnp.where(
-                    refrm,
-                    1.0 / jnp.maximum(tn, 1e-6),
-                    -1.0 / jnp.maximum(1.0 - tn, 1e-6),
-                )
-                acc[mi, 7] = acc[mi, 7] + mskf * cot_ratio * dr
-                # carry pieces: Le_b and albedo_b selected per lane
-                return (
-                    jnp.where(msk, ecr * es, Lr),
-                    jnp.where(msk, ecg * es, Lg),
-                    jnp.where(msk, ecb * es, Lb),
-                    jnp.where(msk, alr, Ar),
-                    jnp.where(msk, alg, Ag),
-                    jnp.where(msk, alb_, Ab),
-                    jnp.where(msk, tn, Tn),
-                )
+            # accumulate per material; tiles rarely touch every material
+            # at every bounce, so skip materials with no hit lane here
+            # (scalar predicate -> the 9 read-modify-writes are elided)
+            def mat_body(mi, _):
+                mskf = jnp.where((mat == mi) & hitm, 1.0, 0.0)
 
-            Lr, Lg, Lb, Ar, Ag, Ab, _ = jax.lax.fori_loop(
-                0, n_mat, mat_body,
-                (zero, zero, zero, zero, zero, zero, zero),
-            )
+                @pl.when(jnp.max(mskf) > 0.0)
+                def _():
+                    base = _MAT_J_PLANES * mi
+                    j_ref[base + 0] = j_ref[base + 0] + mskf * cAr
+                    j_ref[base + 1] = j_ref[base + 1] + mskf * cAg
+                    j_ref[base + 2] = j_ref[base + 2] + mskf * cAb
+                    j_ref[base + 3] = j_ref[base + 3] + mskf * cSr
+                    j_ref[base + 4] = j_ref[base + 4] + mskf * cSg
+                    j_ref[base + 5] = j_ref[base + 5] + mskf * cSb
+                    j_ref[base + 6] = j_ref[base + 6] + mskf * cRr
+                    j_ref[base + 7] = j_ref[base + 7] + mskf * cRg
+                    j_ref[base + 8] = j_ref[base + 8] + mskf * cRb
+
+                return 0
+
+            jax.lax.fori_loop(0, n_mat, mat_body, 0)
 
             # carry: T_{b-1} = Le_b + albedo_b * T_b (hit), sky (miss),
             # pass-through (lane already dead — value never consumed).
+            Lr = jnp.where(hitm, le_store[b, 0], 0.0)
+            Lg = jnp.where(hitm, le_store[b, 1], 0.0)
+            Lb = jnp.where(hitm, le_store[b, 2], 0.0)
+            Ar = jnp.where(hitm, alb_store[b, 0], 0.0)
+            Ag = jnp.where(hitm, alb_store[b, 1], 0.0)
+            Ab = jnp.where(hitm, alb_store[b, 2], 0.0)
             Tr = jnp.where(hitm, Lr + Ar * Tr_h, jnp.where(missm, sky_r, Tr))
             Tg = jnp.where(hitm, Lg + Ag * Tg_h, jnp.where(missm, sky_g, Tg))
             Tb = jnp.where(hitm, Lb + Ab * Tb_h, jnp.where(missm, sky_b, Tb))
@@ -409,41 +436,27 @@ def _bwd_kernel(
         T0 = (jnp.full((th, tw), sky_r), jnp.full((th, tw), sky_g),
               jnp.full((th, tw), sky_b))
         jax.lax.fori_loop(0, max_bounces + 1, bwd_body, T0)
-        return carry
+        return (acc_r, acc_g, acc_b)
 
-    jax.lax.fori_loop(0, spp, sample_body, 0)
-
-    # ---- reduce tile accumulators to scalars, sum across grid programs ----
-    @pl.when(first)
-    def _():
-        # element stores only: SMEM refs reject vector writes
-        def z(mi, _):
-            for k in range(8):
-                out_ref[mi, k] = jnp.float32(0.0)
-            return 0
-        jax.lax.fori_loop(0, n_mat + 1, z, 0)
-
-    def reduce_mat(mi, _):
-        for k in range(8):
-            out_ref[mi, k] = out_ref[mi, k] + jnp.sum(acc[mi, k])
-        return 0
-
-    jax.lax.fori_loop(0, n_mat, reduce_mat, 0)
-    for c in range(3):
-        out_ref[n_mat, c] = out_ref[n_mat, c] + jnp.sum(sky_acc[c])
+    acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
+    inv = jnp.float32(1.0 / spp)
+    img_ref[0] = acc[0] * inv
+    img_ref[1] = acc[1] * inv
+    img_ref[2] = acc[2] * inv
 
 
-def _fit_tile(rows, width, tile, n_mat, max_bounces, bounce_planes=8):
+def _fit_tile(rows, width, tile, n_mat, max_bounces, bounce_planes=15,
+              mat_planes=_MAT_J_PLANES, fixed_planes=6):
     """Largest kernel tile that (a) divides the row block / width, and
-    (b) keeps the backward's VMEM scratch within budget.
+    (b) keeps the kernel's VMEM footprint within budget.
 
-    The scratch is ``th*tw*4 * ((B+1)*bounce_planes + n_mat*8 + 3)`` bytes
-    (per-bounce replay stores plus the per-material accumulator planes) —
-    note the ``n_mat`` term: many-material scenes must shrink the tile or
-    blow the ~16 MB VMEM budget. Tile heights prefer multiples of 8 (f32
-    sublane). ``bounce_planes`` is 8 for the reference-tier backward and
-    15 for the physical tier's (which also stores NEE data).
-    """
+    The footprint is ``th*tw*4 * ((B+1)*bounce_planes + n_mat*mat_planes
+    + fixed_planes)`` bytes (per-bounce replay stores plus the
+    per-material accumulator/Jacobian planes) — note the ``n_mat`` term:
+    many-material scenes must shrink the tile or blow the ~16 MB VMEM
+    budget. Tile heights prefer multiples of 8 (f32 sublane).
+    ``bounce_planes`` is 15 for the fused reference-tier kernel
+    (14 f32 + 1 i32) and 15+ for the physical tier's backward."""
     th0, tw0 = tile
     tw = min(tw0, width)
     while width % tw:
@@ -457,9 +470,9 @@ def _fit_tile(rows, width, tile, n_mat, max_bounces, bounce_planes=8):
         return best
 
     th = divisor_leq(rows, min(th0, rows))
-    budget = 10 * 2**20  # leave headroom for g tile + compiler temps
+    budget = 10 * 2**20  # leave headroom for compiler temps
     scratch = lambda t: t * tw * 4 * (
-        (max_bounces + 1) * bounce_planes + n_mat * 8 + 3
+        (max_bounces + 1) * bounce_planes + n_mat * mat_planes + fixed_planes
     )
     while th > 1 and scratch(th) > budget:
         th = divisor_leq(rows, max(th // 2, 1))
@@ -475,6 +488,124 @@ def _fit_tile(rows, width, tile, n_mat, max_bounces, bounce_planes=8):
         "rows", "jitter",
     ),
 )
+def render_pallas_fused(
+    scene: Scene,
+    camera: Camera,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounces: int,
+    seed,
+    sample_offset=0,
+    tile=BWD_TILE,
+    interpret: bool = False,
+    row_start=0,
+    rows: int | None = None,
+    jitter: bool = False,
+):
+    """Primal radiance image (rows, W, 3) PLUS its per-pixel material
+    Jacobian (9*M+3, rows, W) in one kernel pass (module docstring).
+
+    The Jacobian rows are, per material m: A[3] (albedo), S[3] (emission),
+    R[3] (transparency), then 3 sky-K planes; contract with the image
+    cotangent via :func:`contract_jacobian`. ``row_start``/``rows`` select
+    a row block with global-index RNG, so the pair runs per shard under
+    ``shard_map``."""
+    rows = height if rows is None else rows
+    th, tw = _fit_tile(rows, width, tile, scene.num_materials, max_bounces)
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    n_mat = scene.num_materials
+    bplus = max_bounces + 1
+    n_j = _MAT_J_PLANES * n_mat + 3
+    kern = partial(
+        _fused_kernel,
+        th=th, tw=tw,
+        n_sph=scene.num_spheres,
+        n_tri=scene.num_triangles,
+        n_mat=n_mat,
+        spp=spp,
+        max_bounces=max_bounces,
+        jitter=jitter,
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    par_i = jnp.stack(
+        [jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+         jnp.asarray(sample_offset, jnp.int32),
+         jnp.asarray(row_start, jnp.int32)]
+    )[None, :]
+
+    operands = fk._scene_operands(scene) + [
+        fk._camera_params(camera, scene, height, width),
+        par_i,
+    ]
+    img, jac = pl.pallas_call(
+        kern,
+        grid=(rows // th, width // tw),
+        in_specs=[smem() for _ in operands],
+        out_specs=[
+            pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_j, th, tw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, rows, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_j, rows, width), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # p_store
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # mk_store
+            pltpu.VMEM((bplus, th, tw), jnp.int32),  # mat_store
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # alb_store
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # le_store
+            pltpu.VMEM((bplus, th, tw), jnp.float32),  # dr_store
+        ],
+        interpret=interpret,
+    )(*operands)
+    return jnp.transpose(img, (1, 2, 0)), jac
+
+
+def contract_jacobian(scene: Scene, jac, g, spp: int):
+    """Scene cotangent pytree from the fused kernel's Jacobian and the
+    image cotangent ``g`` (rows, W, 3) — the whole backward pass is this
+    contraction (a few fused elementwise-reduce ops in XLA)."""
+    n_mat = scene.num_materials
+    mats = scene.materials
+    g_cp = jnp.transpose(g.astype(jnp.float32), (2, 0, 1))  # (3, rows, W)
+    # (m, kind{A,S,R}, c): contract every material plane with its channel
+    jm = jac[: _MAT_J_PLANES * n_mat].reshape(
+        n_mat, 3, 3, jac.shape[1], jac.shape[2]
+    )
+    gq = jnp.einsum("mkchw,chw->mkc", jm, g_cp) / spp
+    d_alb = gq[:, 0]
+    d_eco = gq[:, 1] * mats.emission_strength[:, None]
+    d_est = jnp.sum(gq[:, 1] * mats.emission_color, axis=1)
+    d_trn = jnp.sum(gq[:, 2] * mats.albedo, axis=1)
+    d_sky = (
+        jnp.einsum("chw,chw->c", jac[_MAT_J_PLANES * n_mat:], g_cp) / spp
+    )
+
+    zeros = lambda x: jnp.zeros_like(x)
+    d_mats = dataclasses.replace(
+        mats,
+        albedo=d_alb,
+        emission_color=d_eco,
+        emission_strength=d_est,
+        transparency=d_trn,
+        roughness=zeros(mats.roughness),
+        metallicity=zeros(mats.metallicity),
+        refractive_index=zeros(mats.refractive_index),
+    )
+    return dataclasses.replace(
+        scene,
+        materials=d_mats,
+        spheres=jax.tree_util.tree_map(zeros, scene.spheres),
+        triangles=jax.tree_util.tree_map(zeros, scene.triangles),
+        sky_color=d_sky,
+    )
+
+
 def render_pallas_bwd(
     scene: Scene,
     camera: Camera,
@@ -491,85 +622,18 @@ def render_pallas_bwd(
     rows: int | None = None,
     jitter: bool = False,
 ):
-    """VJP of :func:`pallas_kernels.render_pallas` w.r.t. the scene.
+    """VJP of :func:`pallas_kernels.render_pallas` w.r.t. the scene:
+    the fused kernel's Jacobian contracted with ``g``.
 
-    Returns a Scene-shaped cotangent pytree (zeros for geometry, roughness,
-    IOR, metallicity and masks — exactly what AD produces, see module
-    docstring). ``row_start``/``rows`` select a row block with global-index
-    RNG, so the kernel runs per shard under ``shard_map`` — shard_map's
-    transpose then psums the replicated scene's cotangents across the mesh.
-    The tile auto-shrinks to divide odd row counts and to bound the
-    n_mat-dependent VMEM scratch.
-    """
+    Returns a Scene-shaped cotangent pytree (zeros for geometry,
+    roughness, IOR, metallicity and masks — exactly what AD produces, see
+    module docstring). Standalone entry point for when only the backward
+    is wanted; ``jax.grad`` through ``render_pallas_vjp`` instead reuses
+    the Jacobian already produced by its forward pass."""
     rows = height if rows is None else rows
-    th, tw = _fit_tile(rows, width, tile, scene.num_materials, max_bounces)
-    interpret = interpret or jax.default_backend() != "tpu"
-
-    n_mat = scene.num_materials
-    bplus = max_bounces + 1
-    kern = partial(
-        _bwd_kernel,
-        th=th, tw=tw,
-        n_sph=scene.num_spheres,
-        n_tri=scene.num_triangles,
-        n_mat=n_mat,
-        spp=spp,
-        max_bounces=max_bounces,
-        jitter=jitter,
+    _, jac = render_pallas_fused(
+        scene, camera, height, width, spp, max_bounces, seed,
+        sample_offset=sample_offset, tile=tile, interpret=interpret,
+        row_start=row_start, rows=rows, jitter=jitter,
     )
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    par_i = jnp.stack(
-        [jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
-         jnp.asarray(sample_offset, jnp.int32),
-         jnp.asarray(row_start, jnp.int32)]
-    )[None, :]
-    g_planes = jnp.transpose(g.astype(jnp.float32), (2, 0, 1))  # (3, rows, W)
-
-    operands = fk._scene_operands(scene) + [
-        fk._camera_params(camera, scene, height, width),
-        par_i,
-        g_planes,
-    ]
-    out = pl.pallas_call(
-        kern,
-        grid=(rows // th, width // tw),
-        in_specs=[smem() for _ in operands[:-1]]
-        + [pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
-                        memory_space=pltpu.VMEM)],
-        # SMEM: the output is a handful of scalars accumulated with
-        # element stores, which Mosaic forbids on VMEM refs.
-        out_specs=pl.BlockSpec(
-            (n_mat + 1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_mat + 1, 8), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),
-            pltpu.VMEM((bplus, 4, th, tw), jnp.float32),
-            pltpu.VMEM((bplus, th, tw), jnp.int32),
-            pltpu.VMEM((n_mat, 8, th, tw), jnp.float32),
-            pltpu.VMEM((3, th, tw), jnp.float32),
-        ],
-        interpret=interpret,
-    )(*operands)
-
-    import dataclasses
-
-    zeros = lambda x: jnp.zeros_like(x)
-    mats = scene.materials
-    d_mats = dataclasses.replace(
-        mats,
-        albedo=out[:n_mat, 0:3],
-        emission_color=out[:n_mat, 3:6],
-        emission_strength=out[:n_mat, 6],
-        transparency=out[:n_mat, 7],
-        roughness=zeros(mats.roughness),
-        metallicity=zeros(mats.metallicity),
-        refractive_index=zeros(mats.refractive_index),
-    )
-    return dataclasses.replace(
-        scene,
-        materials=d_mats,
-        spheres=jax.tree_util.tree_map(zeros, scene.spheres),
-        triangles=jax.tree_util.tree_map(zeros, scene.triangles),
-        sky_color=out[n_mat, 0:3],
-    )
+    return contract_jacobian(scene, jac, g, spp)

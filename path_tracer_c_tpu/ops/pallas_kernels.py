@@ -718,12 +718,18 @@ def _fwd(
     scene, camera, height, width, spp, max_bounces, rows, jitter,
     seed, sample_offset, row_start,
 ):
-    out = render_pallas(
+    from .pallas_grad import render_pallas_fused
+
+    # Under AD, run the FUSED kernel: one pass emits the primal AND the
+    # per-pixel material Jacobian (pallas_grad.py), so the backward rule
+    # is a tiny contraction instead of a second full path replay — the
+    # VJP no longer traces any ray twice.
+    out, jac = render_pallas_fused(
         scene, camera, height, width, spp, max_bounces, seed,
         sample_offset=sample_offset, row_start=row_start, rows=rows,
         jitter=jitter,
     )
-    return out, (scene, camera, seed, sample_offset, row_start)
+    return out, (scene, camera, jac)
 
 
 def _float0_ints(cotangent, primal):
@@ -740,18 +746,14 @@ def _float0_ints(cotangent, primal):
 
 
 def _bwd(height, width, spp, max_bounces, rows, jitter, res, g):
-    from .pallas_grad import render_pallas_bwd
+    from .pallas_grad import contract_jacobian
 
-    scene, camera, seed, sample_offset, row_start = res
-    # Hand-written suffix-sweep kernel (see pallas_grad.py): exact VJP of
-    # the estimator at megakernel speed. Camera cotangents are exactly
-    # zero (radiance is piecewise-constant in camera parameters under this
+    scene, camera, jac = res
+    # The Jacobian was built by the fused forward; the backward is just
+    # its contraction with g. Camera cotangents are exactly zero
+    # (radiance is piecewise-constant in camera parameters under this
     # shading model, like geometry — grad/diff.py).
-    d_scene = render_pallas_bwd(
-        scene, camera, g, height, width, spp, max_bounces, seed,
-        sample_offset=sample_offset, row_start=row_start, rows=rows,
-        jitter=jitter,
-    )
+    d_scene = contract_jacobian(scene, jac, g, spp)
     d_scene = _float0_ints(d_scene, scene)
     d_camera = jax.tree_util.tree_map(jnp.zeros_like, camera)
     return d_scene, d_camera, None, None, None

@@ -252,6 +252,8 @@ def make_physical_shading(
             # pick the k-th emissive sphere, uniform among emitters
             kf = jnp.floor(u_pick * n_em_f).astype(jnp.int32)
             kk = jnp.clip(kf, 0, jnp.maximum(n_em - 1, 0))
+            kk_ord = kk  # emitter ordinal, stored for the backward's
+            # per-emitter geometry accumulation
             # e_idx = #{i : em_cum[i] <= k} (searchsorted-left)
             e_idx = jnp.zeros((th, tw), jnp.int32)
 
@@ -939,7 +941,7 @@ def render_physical_pallas_bwd(
     rows = height if rows is None else rows
     th, tw = _fit_tile(
         rows, width, tile, scene.num_materials, max_bounces,
-        bounce_planes=_PHYS_BOUNCE_PLANES,
+        bounce_planes=_PHYS_BOUNCE_PLANES, mat_planes=8,
     )
     interpret = interpret or jax.default_backend() != "tpu"
 

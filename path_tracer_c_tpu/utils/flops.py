@@ -153,25 +153,65 @@ def count_ops(fn, *args, while_trips: float = 1.0, **kwargs):
 
 
 def kernel_op_counts(scene, camera, spp: int, max_bounces: int,
-                     tile=None, jitter: bool = False):
-    """Per-tile op counts of the forward megakernel, from its own trace.
+                     tile=None, jitter: bool = False,
+                     kind: str = "forward"):
+    """Per-tile op counts of one production kernel, from its own trace.
 
-    Traces ONE pallas tile (rows=th, width=tw) in interpreter mode — the
-    interpreter executes the identical jnp graph the Mosaic kernel runs —
-    and returns counts per tile plus the tile shape, so callers scale by
-    the grid size. The bounce while_loop is charged its full
-    ``max_bounces`` trips (lanes are masked, not skipped; only the
-    all-dead tile exit — rare on real scenes at 64 spp — makes this an
-    overcount, so sol_fraction is if anything *understated*)."""
+    ``kind`` selects the kernel: ``"forward"`` (reference-tier
+    megakernel), ``"fused"`` (fused primal+Jacobian kernel — the fwd+bwd
+    path), ``"physical"`` (physical-tier forward), ``"physical_bwd"``
+    (physical replay+sweep backward). Traces ONE pallas tile (rows=th,
+    width=tw) in interpreter mode — the interpreter executes the
+    identical jnp graph the Mosaic kernel runs — and returns counts per
+    tile plus the tile shape, so callers scale by the grid size. The
+    bounce while_loops are charged their full worst-case trips (lanes are
+    masked, not skipped; only the all-dead tile exit — rare on real
+    scenes at 64 spp — makes this an overcount, so sol_fraction is if
+    anything *understated*)."""
     from ..ops.pallas_kernels import render_pallas, DEFAULT_TILE
 
     th, tw = tile or DEFAULT_TILE
+    trips = max_bounces  # forward hoists bounce 0 out of the while_loop
 
-    def one_tile(s):
-        return render_pallas(scene, camera, th, tw, spp, max_bounces, s,
-                             tile=(th, tw), interpret=True, jitter=jitter)
+    if kind == "forward":
+        def one_tile(s):
+            return render_pallas(scene, camera, th, tw, spp, max_bounces, s,
+                                 tile=(th, tw), interpret=True, jitter=jitter)
+    elif kind == "fused":
+        from ..ops.pallas_grad import render_pallas_fused
 
-    counts = count_ops(one_tile, jnp.uint32(1), while_trips=max_bounces)
+        trips = max_bounces + 1  # every bounce runs inside the loop
+
+        def one_tile(s):
+            return render_pallas_fused(
+                scene, camera, th, tw, spp, max_bounces, s, tile=(th, tw),
+                interpret=True, jitter=jitter,
+            )
+    elif kind == "physical":
+        from ..ops.pallas_physical import render_physical_pallas
+
+        trips = max_bounces + 1
+
+        def one_tile(s):
+            return render_physical_pallas(
+                scene, camera, th, tw, spp, max_bounces, s, tile=(th, tw),
+                interpret=True, jitter=jitter,
+            )
+    elif kind == "physical_bwd":
+        from ..ops.pallas_physical import render_physical_pallas_bwd
+
+        trips = max_bounces + 1
+        g = jnp.ones((th, tw, 3), jnp.float32)
+
+        def one_tile(s):
+            return render_physical_pallas_bwd(
+                scene, camera, g, th, tw, spp, max_bounces, s, tile=(th, tw),
+                interpret=True, jitter=jitter,
+            )
+    else:
+        raise ValueError(f"unknown kernel kind {kind!r}")
+
+    counts = count_ops(one_tile, jnp.uint32(1), while_trips=trips)
     counts["tile"] = (th, tw)
     return counts
 
@@ -282,10 +322,12 @@ def sol_report(scene, camera, height: int, width: int, spp: int,
                max_bounces: int, measured_seconds: float,
                tile=None, jitter: bool = False,
                alu_rate: float | None = None,
-               transc_rate: float | None = None):
-    """Measured speed-of-light report for one forward render.
+               transc_rate: float | None = None,
+               kind: str = "forward"):
+    """Measured speed-of-light report for one production kernel.
 
-    ``measured_seconds`` is the timed wall clock of the render;
+    ``measured_seconds`` is the timed wall clock of the render; ``kind``
+    selects the kernel (see :func:`kernel_op_counts`).
     ``alu_rate``/``transc_rate`` default to fresh on-chip calibration.
     sol_seconds models the VPU as a single issue pipe: every counted op
     (ALU at the measured ALU rate, transcendental at the measured
@@ -295,7 +337,7 @@ def sol_report(scene, camera, height: int, width: int, spp: int,
 
     th, tw = tile or DEFAULT_TILE
     counts = kernel_op_counts(scene, camera, spp, max_bounces,
-                              tile=(th, tw), jitter=jitter)
+                              tile=(th, tw), jitter=jitter, kind=kind)
     n_tiles = (height // th) * (width // tw)
     alu = counts["alu"] * n_tiles
     transc = counts["transcendental"] * n_tiles

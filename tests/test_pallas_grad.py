@@ -156,6 +156,35 @@ def test_bwd_row_block_matches_full():
         )
 
 
+def test_fused_primal_bit_matches_forward():
+    """The fused kernel's primal IS the VJP's primal output (custom_vjp
+    fwd rule), so it must match the plain forward megakernel: the
+    radiance math is the same op sequence and the structural-death bounce
+    loop only adds exact zeros. Non-jitter renders are bit-identical;
+    with jitter XLA contracts the sub-pixel camera chain's mul+add into
+    FMA differently between the two graphs, so a few pixels move by 1 ulp
+    (checked to that tolerance)."""
+    from path_tracer_c_tpu.ops.pallas_grad import render_pallas_fused
+    from path_tracer_c_tpu.ops.pallas_kernels import render_pallas
+
+    for scene, jitter in ((_mixed_scene(), False),
+                          (demo.demo_scene(), True),
+                          (_black_albedo_scene(), False)):
+        h, w, spp, bounces, seed = 16, 128, 3, 4, 21
+        fwd = np.asarray(
+            render_pallas(scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+                          jitter=jitter)
+        )
+        fused, _ = render_pallas_fused(
+            scene, CAM, h, w, spp, bounces, jnp.uint32(seed), jitter=jitter
+        )
+        if jitter:
+            np.testing.assert_allclose(fwd, np.asarray(fused), rtol=1e-6,
+                                       atol=1e-6)
+        else:
+            np.testing.assert_array_equal(fwd, np.asarray(fused))
+
+
 def test_vjp_wrapper_uses_hand_kernel():
     scene = _mixed_scene()
     h, w, spp, bounces = 8, 128, 2, 3
