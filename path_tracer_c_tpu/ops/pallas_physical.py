@@ -351,6 +351,8 @@ def make_physical_shading(
             w = zero
             ler = zero; leg = zero; leb = zero
             emat = jnp.zeros((th, tw), jnp.int32)
+            e_idx = jnp.zeros((th, tw), jnp.int32)
+            kk_ord = jnp.zeros((th, tw), jnp.int32)
 
         if store is not None:
             store(
@@ -367,6 +369,16 @@ def make_physical_shading(
                     addle=hitm & ~nee_counted,
                     valid=valid,
                     refrm=choose_refr,
+                    # NEE geometry-chain replay inputs (the backward
+                    # re-runs the cone-weight chain under jax.vjp to get
+                    # emitter center/radius cotangents): shadow origin,
+                    # surface normal, the two cone draws, the sampled
+                    # emitter's sphere index and emitter ordinal.
+                    so=(sox, soy, soz),
+                    n=(nx, ny, nz),
+                    v=(v1, v2),
+                    e_idx=e_idx,
+                    kk=kk_ord,
                 ),
             )
 
@@ -516,6 +528,7 @@ def _phys_bwd_kernel(
     em_cum, le_sph, par_f, par_i,
     g_ref,  # (3, TH, TW) cotangent of the radiance image (mean over spp)
     out_ref,  # (M+1, 8) accumulated cotangents; row M = sky (cols 0..2)
+    out_geo,  # (max(K,1), 4) emitter-ordinal geometry cotangents
     # scratch
     p_store,  # (B+1, 3, TH, TW) prefix throughput at Le time
     le_store,  # (B+1, 3, TH, TW) sampled-emitter radiance
@@ -523,10 +536,16 @@ def _phys_bwd_kernel(
     mk_store,  # (B+1, 6, TH, TW) masks: hit, miss, tir, addle, valid, refr
     mat_store,  # (B+1, TH, TW) i32 hit material
     emat_store,  # (B+1, TH, TW) i32 sampled-emitter material
+    so_store,  # (B+1, 3, TH, TW) NEE shadow-ray origin
+    n_store,  # (B+1, 3, TH, TW) surface normal at the shading point
+    v_store,  # (B+1, 2, TH, TW) cone draws v1, v2
+    eidx_store,  # (B+1, TH, TW) i32 sampled emitter's sphere index
+    kk_store,  # (B+1, TH, TW) i32 sampled emitter's ordinal
     acc,  # (M, 8, TH, TW) per-material cotangent planes
     sky_acc,  # (3, TH, TW)
+    geo_acc,  # (max(K,1), 4, TH, TW) per-emitter-ordinal geometry planes
     *,
-    th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee,
+    th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee, n_em_cap,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -568,6 +587,14 @@ def _phys_bwd_kernel(
 
     jax.lax.fori_loop(0, n_mat, zero_acc, 0)
 
+    if n_em_cap:
+        def zero_geo(k, _):
+            for c in range(4):
+                geo_acc[k, c] = zero
+            return 0
+
+        jax.lax.fori_loop(0, n_em_cap, zero_geo, 0)
+
     def store(b, info):
         P_r, P_g, P_b_ = info["P"]
         p_store[b, 0] = P_r
@@ -586,6 +613,20 @@ def _phys_bwd_kernel(
         mk_store[b, 3] = jnp.where(info["addle"], 1.0, 0.0)
         mk_store[b, 4] = jnp.where(info["valid"], 1.0, 0.0)
         mk_store[b, 5] = jnp.where(info["refrm"], 1.0, 0.0)
+        if n_em_cap:
+            sox, soy, soz = info["so"]
+            so_store[b, 0] = sox
+            so_store[b, 1] = soy
+            so_store[b, 2] = soz
+            nx_, ny_, nz_ = info["n"]
+            n_store[b, 0] = nx_
+            n_store[b, 1] = ny_
+            n_store[b, 2] = nz_
+            v1_, v2_ = info["v"]
+            v_store[b, 0] = v1_
+            v_store[b, 1] = v2_
+            eidx_store[b] = info["e_idx"]
+            kk_store[b] = info["kk"]
 
     def sample_body(s, carry):
         sample = (s + sample_offset).astype(jnp.uint32)
@@ -760,6 +801,97 @@ def _phys_bwd_kernel(
 
             jax.lax.fori_loop(0, n_mat, acc_body, 0)
 
+            # ---- NEE emitter-geometry cotangents (VERDICT r2 item 4) ----
+            # The sampled emitter's center/radius enter the contribution
+            # only through the cone weight w = cos_surf/pdf * n_em, a
+            # per-bounce-local chain over the stored shadow origin,
+            # surface normal and cone draws. Re-run that chain under
+            # jax.vjp (the transpose is plain plane arithmetic, which
+            # Mosaic compiles like any other op) and push the per-lane
+            # cotangent of w through it. Everything else geometry touches
+            # is discrete (visibility compares, t_e) or belongs to other
+            # surfaces — see render_physical_pallas_bwd's contract.
+            if n_em_cap:
+                e_idx = eidx_store[b]
+                cex = zero; cey = zero; cez = zero; rer_ = zero
+
+                def efetch(i, c):
+                    cex, cey, cez, rer_ = c
+                    msk = e_idx == i
+                    return (
+                        jnp.where(msk, sph_c[i, 0], cex),
+                        jnp.where(msk, sph_c[i, 1], cey),
+                        jnp.where(msk, sph_c[i, 2], cez),
+                        jnp.where(msk, sph_r[i, 0], rer_),
+                    )
+
+                cex, cey, cez, rer_ = jax.lax.fori_loop(
+                    0, n_sph, efetch, (cex, cey, cez, rer_)
+                )
+                sox = jnp.where(validm, so_store[b, 0], 0.0)
+                soy = jnp.where(validm, so_store[b, 1], 0.0)
+                soz = jnp.where(validm, so_store[b, 2], 0.0)
+                nxp = jnp.where(validm, n_store[b, 0], 0.0)
+                nyp = jnp.where(validm, n_store[b, 1], 0.0)
+                nzp = jnp.where(validm, n_store[b, 2], 1.0)
+                v1p = jnp.where(validm, v_store[b, 0], 0.5)
+                v2p = jnp.where(validm, v_store[b, 1], 0.5)
+                cphi = jnp.cos(_TWO_PI * v2p)
+                sphi = jnp.sin(_TWO_PI * v2p)
+                n_em_f = par_i[0, 3].astype(jnp.float32)
+
+                def w_fn(cx, cy, cz, rr):
+                    # the forward's cone-weight chain, value-identical to
+                    # make_physical_shading's NEE block (incl. every
+                    # clip/floor guard, so the vjp matches core AD)
+                    dcx_ = cx - sox
+                    dcy_ = cy - soy
+                    dcz_ = cz - soz
+                    d2 = dcx_ * dcx_ + dcy_ * dcy_ + dcz_ * dcz_
+                    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+                    wzx = dcx_ / dist
+                    wzy = dcy_ / dist
+                    wzz = dcz_ / dist
+                    sin2max = jnp.clip(
+                        rr * rr / jnp.maximum(d2, 1e-12), 0.0, 1.0 - 1e-7
+                    )
+                    cosmax = jnp.sqrt(1.0 - sin2max)
+                    cth = 1.0 - v1p * (1.0 - cosmax)
+                    sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 1e-12))
+                    (tax, tay, taz), (bax, bay, baz) = _onb(wzx, wzy, wzz)
+                    omx = sth * cphi * tax + sth * sphi * bax + cth * wzx
+                    omy = sth * cphi * tay + sth * sphi * bay + cth * wzy
+                    omz = sth * cphi * taz + sth * sphi * baz + cth * wzz
+                    cos_surf = nxp * omx + nyp * omy + nzp * omz
+                    return cos_surf * jnp.maximum(
+                        _TWO_PI * (1.0 - cosmax), 1e-8
+                    ) * n_em_f
+
+                _, w_vjp = jax.vjp(w_fn, cex, cey, cez, rer_)
+                # dL/dw = sum_c g_c * P_c * albedo_c / pi * le_c (valid)
+                cot_w = jnp.where(
+                    validm,
+                    (gPr * alr * ler + gPg * alg * leg + gPb * alb_ * leb)
+                    * _INV_PI,
+                    0.0,
+                )
+                dce_x, dce_y, dce_z, dre = w_vjp(cot_w)
+                kkp = kk_store[b]
+
+                def gacc(k, _):
+                    mk = jnp.where((kkp == k) & validm, 1.0, 0.0)
+
+                    @pl.when(jnp.max(mk) > 0.0)
+                    def _():
+                        geo_acc[k, 0] = geo_acc[k, 0] + mk * dce_x
+                        geo_acc[k, 1] = geo_acc[k, 1] + mk * dce_y
+                        geo_acc[k, 2] = geo_acc[k, 2] + mk * dce_z
+                        geo_acc[k, 3] = geo_acc[k, 3] + mk * dre
+
+                    return 0
+
+                jax.lax.fori_loop(0, n_em_cap, gacc, 0)
+
             # carry: S_b = addle*E + albedo*(S_h + nee) (hit), sky (miss),
             # pass-through (already dead — value re-anchored at the death).
             Er = ecr * esh
@@ -796,6 +928,13 @@ def _phys_bwd_kernel(
 
         jax.lax.fori_loop(0, n_mat + 1, z, 0)
 
+        def zg(k, _):
+            for c in range(4):
+                out_geo[k, c] = jnp.float32(0.0)
+            return 0
+
+        jax.lax.fori_loop(0, max(n_em_cap, 1), zg, 0)
+
     def reduce_mat(mi, _):
         for k in range(8):
             out_ref[mi, k] = out_ref[mi, k] + jnp.sum(acc[mi, k])
@@ -804,6 +943,14 @@ def _phys_bwd_kernel(
     jax.lax.fori_loop(0, n_mat, reduce_mat, 0)
     for c in range(3):
         out_ref[n_mat, c] = out_ref[n_mat, c] + jnp.sum(sky_acc[c])
+
+    if n_em_cap:
+        def reduce_geo(k, _):
+            for c in range(4):
+                out_geo[k, c] = out_geo[k, c] + jnp.sum(geo_acc[k, c])
+            return 0
+
+        jax.lax.fori_loop(0, n_em_cap, reduce_geo, 0)
 
 
 def _emitter_operands(scene: Scene):
@@ -929,19 +1076,29 @@ def render_physical_pallas_bwd(
     jitter: bool = True,
     nee: bool = True,
 ):
-    """Material/sky VJP of :func:`render_physical_pallas`.
+    """Material/sky + NEE emitter-geometry VJP of
+    :func:`render_physical_pallas`.
 
     Returns a Scene-shaped cotangent pytree. Albedo, emission color/
     strength, transparency and sky match core AD; roughness/metallicity/
-    IOR are exactly zero (detached in the estimator, like core AD);
-    **geometry cotangents are returned as zeros by contract** — the
-    physical tier's true geometry gradients need full-path AD (see module
-    docstring), so geometry fits use the core path.
+    IOR are exactly zero (detached in the estimator, like core AD).
+    **Geometry cotangents carry the NEE emitter chain**: the sampled
+    emitter's center/radius cotangents through the cone weight
+    ``w = cos_surf/pdf * n_em`` (the dominant geometry dependence — it is
+    per-bounce local and suffix-sweep-able). Omitted relative to core AD:
+    continuation terms through hit points/normals of surfaces the path
+    strikes (including the emitter itself when hit directly) — full-path
+    AD quantities with no sweep structure. Adequate and validated for
+    emissive-sphere recovery (tests/test_pallas_physical.py); for
+    non-emitter geometry use the core path. Geometry is tracked for the
+    first ``8`` emitters (ordinals beyond that get zeros).
     """
     rows = height if rows is None else rows
+    n_em_cap = min(scene.num_spheres, 8) if nee else 0
     th, tw = _fit_tile(
         rows, width, tile, scene.num_materials, max_bounces,
-        bounce_planes=_PHYS_BOUNCE_PLANES, mat_planes=8,
+        bounce_planes=_PHYS_BOUNCE_PLANES + (10 if n_em_cap else 0),
+        mat_planes=8, fixed_planes=6 + 4 * n_em_cap,
     )
     interpret = interpret or jax.default_backend() != "tpu"
 
@@ -957,22 +1114,30 @@ def render_physical_pallas_bwd(
         max_bounces=max_bounces,
         jitter=jitter,
         nee=nee,
+        n_em_cap=n_em_cap,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     g_planes = jnp.transpose(g.astype(jnp.float32), (2, 0, 1))
     operands = _phys_operands(
         scene, camera, height, width, seed, sample_offset, row_start
     ) + [g_planes]
-    out = pl.pallas_call(
+    geo_rows = max(n_em_cap, 1)
+    out, geo = pl.pallas_call(
         kern,
         grid=(rows // th, width // tw),
         in_specs=[smem() for _ in operands[:-1]]
         + [pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
                         memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(
-            (n_mat + 1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_mat + 1, 8), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((n_mat + 1, 8), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((geo_rows, 4), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_mat + 1, 8), jnp.float32),
+            jax.ShapeDtypeStruct((geo_rows, 4), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # p_store
             pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # le_store
@@ -980,8 +1145,14 @@ def render_physical_pallas_bwd(
             pltpu.VMEM((bplus, 6, th, tw), jnp.float32),  # mk_store
             pltpu.VMEM((bplus, th, tw), jnp.int32),  # mat_store
             pltpu.VMEM((bplus, th, tw), jnp.int32),  # emat_store
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # so_store
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # n_store
+            pltpu.VMEM((bplus, 2, th, tw), jnp.float32),  # v_store
+            pltpu.VMEM((bplus, th, tw), jnp.int32),  # eidx_store
+            pltpu.VMEM((bplus, th, tw), jnp.int32),  # kk_store
             pltpu.VMEM((n_mat, 8, th, tw), jnp.float32),  # acc
             pltpu.VMEM((3, th, tw), jnp.float32),  # sky_acc
+            pltpu.VMEM((geo_rows, 4, th, tw), jnp.float32),  # geo_acc
         ],
         interpret=interpret,
     )(*operands)
@@ -1000,10 +1171,29 @@ def render_physical_pallas_bwd(
         metallicity=zeros(mats.metallicity),
         refractive_index=zeros(mats.refractive_index),
     )
+    d_spheres = jax.tree_util.tree_map(zeros, scene.spheres)
+    if n_em_cap:
+        # scatter emitter-ordinal rows back onto their sphere indices
+        em_cum, _, n_em = _emitter_operands(scene)
+        ks = jnp.arange(n_em_cap, dtype=jnp.int32)
+        sph_idx = jnp.clip(
+            jnp.searchsorted(em_cum[:, 0], ks + 1, side="left"),
+            0, scene.num_spheres - 1,
+        )
+        live = (ks < n_em)[:, None]
+        d_center = jnp.zeros_like(scene.spheres.center).at[sph_idx].add(
+            jnp.where(live, geo[:n_em_cap, 0:3], 0.0)
+        )
+        d_radius = jnp.zeros_like(scene.spheres.radius).at[sph_idx].add(
+            jnp.where(live[:, 0], geo[:n_em_cap, 3], 0.0)
+        )
+        d_spheres = dataclasses.replace(
+            d_spheres, center=d_center, radius=d_radius
+        )
     return dataclasses.replace(
         scene,
         materials=d_mats,
-        spheres=jax.tree_util.tree_map(zeros, scene.spheres),
+        spheres=d_spheres,
         triangles=jax.tree_util.tree_map(zeros, scene.triangles),
         sky_color=out[n_mat, 0:3],
     )

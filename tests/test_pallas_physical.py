@@ -150,14 +150,22 @@ def _compare_bwd(scene, h, w, spp, bounces, seed, gseed, jitter=True,
         a, c = np.asarray(a), np.asarray(c)
         atol = 3e-5 + scale_frac * np.abs(c).max()
         np.testing.assert_allclose(a, c, rtol=rtol, atol=atol)
-    # geometry cotangents are zero BY CONTRACT in the hand kernel (the
-    # core's are genuinely nonzero in the physical tier — that's the
-    # documented limitation, not a parity target).
-    assert not np.any(np.asarray(d_hand.spheres.center))
-    assert not np.any(np.asarray(d_hand.spheres.radius))
+    # Geometry: the hand kernel carries the NEE emitter chain only
+    # (center/radius through the cone weight), so emitter rows are
+    # nonzero/finite; NON-emitter rows are zero by contract (the core's
+    # are genuinely nonzero there — full-path AD, the documented gap).
+    hc = np.asarray(d_hand.spheres.center)
+    hr = np.asarray(d_hand.spheres.radius)
+    assert np.isfinite(hc).all() and np.isfinite(hr).all()
+    em = np.asarray(
+        scene.spheres.active
+        & (scene.materials.emission_strength[scene.spheres.material] > 0.0)
+    )
+    assert not np.any(hc[~em]) and not np.any(hr[~em])
     # roughness is detached in both (lobe selection is stop-gradient)
     assert not np.any(np.asarray(d_core.materials.roughness))
     assert not np.any(np.asarray(d_hand.materials.roughness))
+    return d_hand, d_core
 
 
 def test_phys_bwd_matches_core_cornell():
@@ -201,6 +209,111 @@ def test_phys_bwd_matches_core_emitter_nee_counted():
     b.add_sphere(center=(-1.0, -0.3, 4.0), radius=0.7, material=mm)
     _compare_bwd(b.build(), 8, 128, 2, 3, seed=7, gseed=2, jitter=False,
                  rtol=1e-3)
+
+
+def _nee_light_scene(light_albedo=0.0):
+    """Diffuse room lit by one small sphere light. With a BLACK light
+    albedo, paths that strike the light die immediately, so core AD's
+    geometry gradient for the light reduces to exactly the NEE cone-weight
+    chain — the chain the hand kernel replays — making the comparison
+    rounding-tight rather than approximation-bounded."""
+    b = pt.SceneBuilder(sky_color=(0.05, 0.06, 0.08))
+    ground = b.add_material(albedo=(0.55, 0.5, 0.45), roughness=1.0)
+    wall = b.add_material(albedo=(0.4, 0.45, 0.6), roughness=1.0)
+    lamp = b.add_material(
+        albedo=(light_albedo,) * 3, emission_color=(1.0, 0.85, 0.6),
+        emission_strength=12.0,
+    )
+    b.add_triangle(v0=(-50, -1, -50), v1=(50, -1, -50), v2=(50, -1, 50),
+                   material=ground)
+    b.add_triangle(v0=(-50, -1, -50), v1=(-50, -1, 50), v2=(50, -1, 50),
+                   material=ground)
+    b.add_sphere(center=(0.0, 0.0, 6.0), radius=1.2, material=wall)
+    b.add_sphere(center=(1.6, 2.2, 4.5), radius=0.35, material=lamp)
+    return b.build()
+
+
+def test_phys_bwd_emitter_geometry_matches_core():
+    """NEE emitter center/radius cotangents vs core AD (VERDICT r2 item
+    4): on the black-albedo-light scene both sides compute the identical
+    chain, so the match is tight."""
+    scene = _nee_light_scene(light_albedo=0.0)
+    d_hand, d_core = _compare_bwd(scene, 16, 128, 4, 3, seed=23, gseed=5,
+                                  jitter=False, rtol=5e-3)
+    hc = np.asarray(d_hand.spheres.center)
+    cc = np.asarray(d_core.spheres.center)
+    hr = np.asarray(d_hand.spheres.radius)
+    cr = np.asarray(d_core.spheres.radius)
+    # the light is sphere 1 (index order of add_sphere calls)
+    assert np.abs(cc[1]).max() > 1e-6, "core light-center grad unexpectedly 0"
+    np.testing.assert_allclose(hc[1], cc[1], rtol=5e-3, atol=1e-7)
+    np.testing.assert_allclose(hr[1], cr[1], rtol=5e-3, atol=1e-7)
+
+
+def test_phys_bwd_emitter_geometry_dominant_terms():
+    """With a NON-black light albedo core AD adds continuation terms the
+    sweep omits (documented contract); on an NEE-dominated scene the
+    hand cotangents must still carry the bulk of the core gradient —
+    same sign, magnitude within 25%."""
+    scene = _nee_light_scene(light_albedo=0.8)
+    d_hand, d_core = _compare_bwd(scene, 16, 128, 4, 3, seed=29, gseed=6,
+                                  jitter=False, rtol=5e-3)
+    hc = np.asarray(d_hand.spheres.center)[1]
+    cc = np.asarray(d_core.spheres.center)[1]
+    denom = np.abs(cc).max()
+    assert denom > 1e-6
+    assert np.abs(hc - cc).max() / denom < 0.25, (hc, cc)
+
+
+@pytest.mark.slow
+def test_fit_geometry_fast_path_recovers_light():
+    """Light-center recovery running ENTIRELY on the physical Pallas
+    kernel pair (fit_geometry(engine='physical_pallas')) — the fast-path
+    route for VERDICT r2 item 4. Same scene family as the core-path
+    recovery test in tests/test_physical.py."""
+    import dataclasses
+
+    from path_tracer_c_tpu.grad.diff import fit_geometry
+
+    b = pt.SceneBuilder(sky_color=(0.0, 0.0, 0.0))
+    light = b.add_material(
+        albedo=(1.0, 1.0, 1.0), emission_color=(1.0, 0.9, 0.8),
+        emission_strength=8.0,
+    )
+    diffuse = b.add_material(albedo=(0.7, 0.5, 0.4), roughness=1.0)
+    b.add_sphere(center=(0.0, 2.0, 5.0), radius=0.6, material=light)
+    b.add_sphere(center=(0.0, -0.2, 5.0), radius=1.0, material=diffuse)
+    b.add_triangle(v0=(-50, -1.2, -50), v1=(50, -1.2, -50),
+                   v2=(50, -1.2, 50), material=diffuse)
+    b.add_triangle(v0=(-50, -1.2, -50), v1=(-50, -1.2, 50),
+                   v2=(50, -1.2, 50), material=diffuse)
+    true_scene = b.build()
+    h = w = 16
+    spp, bounces = 8, 2
+    target = render_physical(
+        true_scene, CAM, h, w, 64, bounces, jnp.uint32(1234),
+        nee=True, jitter=False,
+    )
+    init = dataclasses.replace(
+        true_scene,
+        spheres=dataclasses.replace(
+            true_scene.spheres,
+            center=true_scene.spheres.center.at[0].add(
+                jnp.asarray([0.3, -0.2, 0.25], jnp.float32)
+            ),
+        ),
+    )
+    fitted, losses = fit_geometry(
+        init, target, CAM, h, w, spp, bounces,
+        sphere_indices=[0], steps=60, lr=0.02, seed0=7,
+        engine="physical_pallas",
+    )
+    err0 = float(jnp.abs(
+        init.spheres.center[0] - true_scene.spheres.center[0]).max())
+    err1 = float(jnp.abs(
+        fitted.spheres.center[0] - true_scene.spheres.center[0]).max())
+    assert losses[-1] < losses[0] * 0.25, (losses[0], losses[-1])
+    assert err1 < err0 * 0.7, (err0, err1)
 
 
 def test_phys_vjp_wrapper_matches_core_grad():
