@@ -301,6 +301,203 @@ def render_split(scene, height, width, spp, max_bounces, seed,
     return img
 
 
+# -- physical tier (mirrors models/physical.py, scalar) ---------------------
+
+def _onb(n):
+    """Branchless Duff et al. orthonormal basis — scalar mirror of
+    models/physical._onb."""
+    nx, ny, nz = float(n[0]), float(n[1]), float(n[2])
+    sign = 1.0 if nz >= 0.0 else -1.0
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    t = np.array([1.0 + sign * nx * nx * a, sign * b, -sign * nx])
+    bv = np.array([b, sign + ny * ny * a, -ny])
+    return t, bv
+
+
+def trace_ray_kind(sc, o, d):
+    """trace_ray plus whether the winner was a sphere and its index."""
+    best_t = math.inf
+    best = None
+    for i in range(sc["ns"]):
+        if not sc["sph_active"][i]:
+            continue
+        t = ray_sphere(o, d, sc["sph_center"][i], sc["sph_radius"][i])
+        if 0 <= t < best_t:
+            p = o + t * d
+            best_t = t
+            best = (p, _normalize(p - sc["sph_center"][i]), sc["sph_mat"][i],
+                    True)
+    for i in range(sc["nt"]):
+        if not sc["tri_active"][i]:
+            continue
+        v0, v1, v2 = sc["tri_v0"][i], sc["tri_v1"][i], sc["tri_v2"][i]
+        t = ray_triangle(o, d, v0, v1, v2)
+        if 0 <= t < best_t:
+            p = o + t * d
+            n = _normalize(np.cross(v0 - v1, v0 - v2))
+            if float(n @ d) > 0:
+                n = -n
+            best_t = t
+            best = (p, n, sc["tri_mat"][i], False)
+    if best is None:
+        return None
+    return best_t, *best
+
+
+def _closest_t(sc, o, d):
+    """Distance-only closest hit over every active object (shadow query)."""
+    best_t = math.inf
+    for i in range(sc["ns"]):
+        if sc["sph_active"][i]:
+            t = ray_sphere(o, d, sc["sph_center"][i], sc["sph_radius"][i])
+            if 0 <= t < best_t:
+                best_t = t
+    for i in range(sc["nt"]):
+        if sc["tri_active"][i]:
+            t = ray_triangle(o, d, sc["tri_v0"][i], sc["tri_v1"][i],
+                             sc["tri_v2"][i])
+            if 0 <= t < best_t:
+                best_t = t
+    return best_t
+
+
+def incident_light_physical(sc, o, d, state, max_bounces, nee=True):
+    """Scalar mirror of models/physical.trace_paths_physical's ``step``:
+    cosine-weighted diffuse / mirror specular / reference refract mixture,
+    NEE by solid-angle cone sampling against emissive spheres with
+    single-counting, fixed 7-draw schedule. Third, fully independent
+    implementation of the physical estimator (VERDICT r2 item 7)."""
+    emitters = [
+        i for i in range(sc["ns"])
+        if sc["sph_active"][i]
+        and sc["m_emission_strength"][sc["sph_mat"][i]] > 0.0
+    ]
+    n_em = len(emitters)
+    total = np.zeros(3)
+    thr = np.ones(3)
+    prev_diff = False
+    for _ in range(max_bounces + 1):
+        hit = trace_ray_kind(sc, o, d)
+        if hit is None:
+            return total + thr * sc["sky"]
+        _, p, nrm, mi, is_sphere = hit
+
+        nee_counted = (
+            nee and prev_diff and is_sphere
+            and sc["m_emission_strength"][mi] > 0.0 and n_em > 0
+        )
+        if not nee_counted:
+            total = total + thr * (
+                sc["m_emission_color"][mi] * sc["m_emission_strength"][mi]
+            )
+
+        state, u_transp = uniform(state)
+        state, u_lobe = uniform(state)
+        state, u1 = uniform(state)
+        state, u2 = uniform(state)
+        state, u_pick = uniform(state)
+        state, v1 = uniform(state)
+        state, v2 = uniform(state)
+
+        transp = sc["m_transparency"][mi]
+        rough = sc["m_roughness"][mi]
+        choose_refr = u_transp < transp
+        choose_diff = (not choose_refr) and (u_lobe < rough)
+
+        if choose_refr:
+            ior = sc["m_ior"][mi]
+            ndot = float(d @ nrm)
+            eta, rn = (1.0 / ior, nrm) if ndot < 0 else (ior, -nrm)
+            new_d = refract(d, rn, eta)
+            if new_d is None:  # TIR death
+                return total
+        elif choose_diff:
+            # cosine-weighted hemisphere about the geometric normal
+            r_ = math.sqrt(u1)
+            phi_d = 2.0 * math.pi * u2
+            lx = r_ * math.cos(phi_d)
+            ly = r_ * math.sin(phi_d)
+            lz = math.sqrt(max(1.0 - u1, 0.0))
+            t_ax, b_ax = _onb(nrm)
+            new_d = lx * t_ax + ly * b_ax + lz * nrm
+        else:
+            new_d = reflect(d, nrm)
+
+        offs = EPS_OFFSET + 4e-6 * math.sqrt(float(p @ p))
+        shadow_o = p + offs * nrm
+
+        if nee and n_em > 0 and choose_diff:
+            k = min(int(u_pick * n_em), n_em - 1)
+            e = emitters[k]
+            c_e = sc["sph_center"][e]
+            r_e = float(sc["sph_radius"][e])
+            m_e = sc["sph_mat"][e]
+            le = sc["m_emission_color"][m_e] * sc["m_emission_strength"][m_e]
+
+            dc = c_e - shadow_o
+            d2 = float(dc @ dc)
+            dist = math.sqrt(max(d2, 1e-12))
+            wz = dc / dist
+            sin2max = min(max(r_e * r_e / max(d2, 1e-12), 0.0), 1.0 - 1e-7)
+            cosmax = math.sqrt(1.0 - sin2max)
+            outside = d2 > r_e * r_e
+            cth = 1.0 - v1 * (1.0 - cosmax)
+            sth = math.sqrt(max(1.0 - cth * cth, 1e-12))
+            phi = 2.0 * math.pi * v2
+            t_ax, b_ax = _onb(wz)
+            omega = (
+                sth * math.cos(phi) * t_ax
+                + sth * math.sin(phi) * b_ax
+                + cth * wz
+            )
+            pdf_omega = 1.0 / max(2.0 * math.pi * (1.0 - cosmax), 1e-8)
+            cos_surf = float(nrm @ omega)
+
+            t_e = ray_sphere(shadow_o, omega, c_e, r_e)
+            t_e = math.inf if t_e < 0 else t_e
+            s_t = _closest_t(sc, shadow_o, omega)
+            visible = (
+                s_t < math.inf
+                and s_t >= t_e * (1.0 - 1e-3) - 1e-4
+                and math.isfinite(t_e)
+            )
+            if outside and cos_surf > 0.0 and visible:
+                total = total + thr * (sc["m_albedo"][mi] / math.pi) * le * (
+                    cos_surf / pdf_omega * n_em
+                )
+
+        thr = thr * sc["m_albedo"][mi]
+        side = 1.0 if float(new_d @ nrm) >= 0 else -1.0
+        o = p + offs * side * nrm
+        d = new_d
+        prev_diff = choose_diff if nee else prev_diff
+    return total + thr * sc["sky"]
+
+
+def render_physical(scene, height, width, spp, max_bounces, seed,
+                    fov_deg=90.0, nee=True):
+    """Golden physical-tier image; mirrors models/physical.render_physical
+    with jitter=False."""
+    sc = scene_to_numpy(scene)
+    aspect = width / height
+    tf = math.tan(math.radians(fov_deg) / 2)
+    img = np.zeros((height, width, 3))
+    for py in range(height):
+        for px in range(width):
+            x = (px + 0.5) / width * 2.0 - 1.0
+            y = -((py + 0.5) / height * 2.0 - 1.0)
+            d = _normalize(np.array([x * tf, y * tf / aspect, 1.0]))
+            acc = np.zeros(3)
+            for s in range(spp):
+                state = seed_state(py * width + px, s, seed)
+                acc += incident_light_physical(
+                    sc, np.zeros(3), d.copy(), state, max_bounces, nee=nee
+                )
+            img[py, px] = acc / spp
+    return img
+
+
 def scene_to_numpy(scene):
     """Flatten a path_tracer_c_tpu Scene pytree into plain numpy arrays."""
     import jax

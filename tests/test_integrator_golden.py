@@ -43,6 +43,45 @@ def test_golden_cornell():
     _compare(demo.cornell_spheres_scene(), 10, 12, 2, 3, seed=2)
 
 
+# -- physical tier vs its own scalar oracle (VERDICT r2 item 7) -------------
+
+
+def _compare_physical(scene, h, w, spp, bounces, seed, nee=True):
+    from path_tracer_c_tpu.models.physical import render_physical
+
+    cam = pt.Camera.reference()
+    img = np.asarray(
+        render_physical(scene, cam, h, w, spp, bounces, jnp.uint32(seed),
+                        nee=nee, jitter=False)
+    )
+    gold = ref.render_physical(scene, h, w, spp, bounces, seed, nee=nee)
+    err = np.abs(img - gold)
+    assert np.quantile(err, 0.99) < 5e-4, (
+        f"99th pct err {np.quantile(err, 0.99)}"
+    )
+    assert err.mean() < 1e-3, f"mean err {err.mean()}"
+
+
+def test_golden_physical_cornell():
+    """BRDF mixture + NEE cone sampling + shadow rays + single-counting,
+    pinned by a third, fully independent scalar implementation."""
+    _compare_physical(demo.cornell_spheres_scene(), 10, 12, 2, 3, seed=7)
+
+
+def test_golden_physical_glossy():
+    _compare_physical(demo.glossy_scene(), 10, 12, 2, 3, seed=3)
+
+
+def test_golden_physical_nee_off():
+    _compare_physical(demo.cornell_spheres_scene(), 10, 12, 2, 3, seed=5,
+                      nee=False)
+
+
+def test_golden_physical_no_emitters():
+    """n_em == 0: NEE inactive, Le always added."""
+    _compare_physical(demo.diffuse_sphere_scene(), 10, 12, 2, 2, seed=9)
+
+
 def test_determinism_same_seed():
     scene = demo.diffuse_sphere_scene()
     cam = pt.Camera.reference()

@@ -269,19 +269,22 @@ def test_phys_bwd_emitter_geometry_dominant_terms():
 def test_fit_geometry_fast_path_recovers_light():
     """Light-center recovery running ENTIRELY on the physical Pallas
     kernel pair (fit_geometry(engine='physical_pallas')) — the fast-path
-    route for VERDICT r2 item 4. Same scene family as the core-path
-    recovery test in tests/test_physical.py."""
+    route for VERDICT r2 item 4. The light has BLACK albedo so the
+    fast path's NEE-chain cotangent is the complete gradient (a visible
+    white-albedo light would need the continuation terms the sweep
+    omits — measured: its y-gradient is then dominated by them and the
+    fit diverges; that configuration belongs to the core engine)."""
     import dataclasses
 
     from path_tracer_c_tpu.grad.diff import fit_geometry
 
     b = pt.SceneBuilder(sky_color=(0.0, 0.0, 0.0))
     light = b.add_material(
-        albedo=(1.0, 1.0, 1.0), emission_color=(1.0, 0.9, 0.8),
-        emission_strength=8.0,
+        albedo=(0.0, 0.0, 0.0), emission_color=(1.0, 0.9, 0.8),
+        emission_strength=10.0,
     )
     diffuse = b.add_material(albedo=(0.7, 0.5, 0.4), roughness=1.0)
-    b.add_sphere(center=(0.0, 2.0, 5.0), radius=0.6, material=light)
+    b.add_sphere(center=(1.5, 2.4, 4.0), radius=0.45, material=light)
     b.add_sphere(center=(0.0, -0.2, 5.0), radius=1.0, material=diffuse)
     b.add_triangle(v0=(-50, -1.2, -50), v1=(50, -1.2, -50),
                    v2=(50, -1.2, 50), material=diffuse)
@@ -305,15 +308,16 @@ def test_fit_geometry_fast_path_recovers_light():
     )
     fitted, losses = fit_geometry(
         init, target, CAM, h, w, spp, bounces,
-        sphere_indices=[0], steps=60, lr=0.02, seed0=7,
+        sphere_indices=[0], steps=80, lr=0.02, seed0=7,
         engine="physical_pallas",
     )
     err0 = float(jnp.abs(
         init.spheres.center[0] - true_scene.spheres.center[0]).max())
     err1 = float(jnp.abs(
         fitted.spheres.center[0] - true_scene.spheres.center[0]).max())
-    assert losses[-1] < losses[0] * 0.25, (losses[0], losses[-1])
-    assert err1 < err0 * 0.7, (err0, err1)
+    # measured: loss 1.28 -> 2.9e-6, center err 0.30 -> 0.077
+    assert losses[-1] < losses[0] * 0.01, (losses[0], losses[-1])
+    assert err1 < err0 * 0.5, (err0, err1)
 
 
 def test_phys_vjp_wrapper_matches_core_grad():
