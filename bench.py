@@ -204,9 +204,11 @@ def main():
             )
 
             log("measuring speed-of-light (calibration kernels)")
-            alu_rate = measure_vpu_rate(transcendental=False)
-            transc_rate = measure_vpu_rate(transcendental=True,
-                                           alu_rate=alu_rate)
+            alu_rate = measure_vpu_rate(kind="alu")
+            transc_rate = {
+                cls: measure_vpu_rate(kind=cls, alu_rate=alu_rate)
+                for cls in ("sqrt", "trig", "explog")
+            }
             rep = sol_report(scene, cam, H, W, SPP, BOUNCES, fwd_s,
                              alu_rate=alu_rate, transc_rate=transc_rate)
             # every production kernel must be fully classified — an op
@@ -218,10 +220,14 @@ def main():
                     rep["sustained_alu_ops_per_sec"] / 1e12, 3),
                 "measured_alu_tops": round(
                     rep["measured_alu_ops_per_sec"] / 1e12, 3),
-                "measured_transc_tops": round(
-                    rep["measured_transc_ops_per_sec"] / 1e12, 3),
+                "measured_sqrt_tops": round(transc_rate["sqrt"] / 1e12, 3),
+                "measured_trig_tops": round(transc_rate["trig"] / 1e12, 3),
+                "measured_explog_tops": round(
+                    transc_rate["explog"] / 1e12, 3),
                 "kernel_alu_ops": rep["alu_ops"],
-                "kernel_transc_ops": rep["transcendental_ops"],
+                "kernel_sqrt_ops": rep["sqrt_ops"],
+                "kernel_trig_ops": rep["trig_ops"],
+                "kernel_explog_ops": rep["explog_ops"],
             }
             log(f"sol_fraction {sol['sol_fraction']}")
             # SoL position of the other production kernels (VERDICT r2
@@ -258,7 +264,10 @@ def main():
                     "physical_rays_per_sec": round(phys_rps, 1),
                     "physical_seconds": round(phys_s, 4),
                     "physical_fwd_bwd_rays_per_sec": round(pbwd_rps, 1),
-                    "physical_fwd_bwd_seconds": round(pbwd_s, 4),
+                    # None off-TPU (NaN is not valid JSON)
+                    "physical_fwd_bwd_seconds": (
+                        round(pbwd_s, 4) if pbwd_s == pbwd_s else None
+                    ),
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                     "baseline_assumed_rays_per_sec": BASELINE_RAYS_PER_SEC,

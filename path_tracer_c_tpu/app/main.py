@@ -155,6 +155,14 @@ def cmd_render(args):
         cfg.debug_nans = True
     if getattr(args, "progressive", False):
         cfg.progressive = True
+    viewer = None
+    if getattr(args, "live", False):
+        # terminal live view (the RT-window analog on a headless host)
+        from ..utils.termview import TerminalViewer
+
+        viewer = TerminalViewer()
+        if not cfg.checkpoint_every:
+            cfg.checkpoint_every = max(1, cfg.spp // 8)
 
     if cfg.debug_nans:
         # Sanitizer analog (SURVEY.md §5 A2): XLA re-runs the op that
@@ -206,6 +214,9 @@ def cmd_render(args):
             u8 = np.asarray(render_image_u8(jnp.asarray(ck.image)))
             bitmap.write_bitmap(cfg.output, u8, y_inverted=True)
             metrics.log("progressive_preview", spp_done=spp_done)
+        if viewer is not None:
+            u8 = np.asarray(render_image_u8(jnp.asarray(ck.image)))
+            viewer.show(u8, caption=f"spp {spp_done}/{cfg.spp}")
 
     if getattr(args, "bounce_stats", False):
         stats_spp = min(cfg.spp, 4)
@@ -258,6 +269,11 @@ def cmd_animate(args):
     out_dir = Path(acfg.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     metrics = MetricsLogger(args.metrics)
+    viewer = None
+    if getattr(args, "live", False):
+        from ..utils.termview import TerminalViewer
+
+        viewer = TerminalViewer()
 
     import jax.numpy as jnp
 
@@ -288,6 +304,8 @@ def cmd_animate(args):
             writer.submit(str(path), u8, True)
         else:
             bitmap.write_bitmap(path, u8, y_inverted=True)
+        if viewer is not None:
+            viewer.show(u8, caption=f"frame {f + 1}/{acfg.frames}")
         rps = throughput(cfg.height, cfg.width, cfg.spp, cfg.max_bounces, t.seconds)
         metrics.log("frame", frame=f, seconds=t.seconds, rays_per_sec=rps)
         print(f"frame {f + 1}/{acfg.frames}  {t.seconds:.2f}s  {rps:.3e} rays/s")
@@ -499,12 +517,23 @@ def build_parser():
         help="rewrite the output BMP with the accumulating image after "
              "every checkpoint chunk (progressive single-view preview)",
     )
+    r.add_argument(
+        "--live", action="store_true",
+        help="draw the accumulating image in the terminal (ANSI "
+             "truecolor half-blocks, redrawn in place) after every "
+             "chunk — the realtime-window analog for headless hosts",
+    )
     r.set_defaults(fn=cmd_render)
 
     a = sub.add_parser("animate", help="animated camera sweep to frames/")
     common(a)
     a.add_argument("--frames", type=int)
     a.add_argument("--out-dir")
+    a.add_argument(
+        "--live", action="store_true",
+        help="draw each frame in the terminal as it renders (realtime "
+             "sweep view)",
+    )
     a.set_defaults(fn=cmd_animate)
 
     f = sub.add_parser("fit", help="inverse rendering: recover materials")

@@ -71,11 +71,14 @@ def _onb(n):
 
 
 def _cosine_hemisphere(n, u1, u2):
-    """Cosine-weighted direction about n; pdf = cos(theta)/pi."""
+    """Cosine-weighted direction about n; pdf = cos(theta)/pi.
+
+    Uses the shared polynomial sincos spec (ops/rng.sincos_2pi) like
+    every sampler in every tier."""
     r = jnp.sqrt(u1)
-    phi = _TWO_PI * u2
-    lx = r * jnp.cos(phi)
-    ly = r * jnp.sin(phi)
+    c, s = _rng.sincos_2pi(u2)
+    lx = r * c
+    ly = r * s
     lz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
     t, b = _onb(n)
     return lx[..., None] * t + ly[..., None] * b + lz[..., None] * n
@@ -224,11 +227,11 @@ def trace_paths_physical(
             # the 1e-12 floor keeps d(sth)/d(cth) finite at cth -> 1.
             cth = 1.0 - v1 * (1.0 - cosmax)
             sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 1e-12))
-            phi = _TWO_PI * v2
+            cphi, sphi = _rng.sincos_2pi(v2)  # shared polynomial trig spec
             t_ax, b_ax = _onb(wz)
             omega = (
-                (sth * jnp.cos(phi))[:, None] * t_ax
-                + (sth * jnp.sin(phi))[:, None] * b_ax
+                (sth * cphi)[:, None] * t_ax
+                + (sth * sphi)[:, None] * b_ax
                 + cth[:, None] * wz
             )
             pdf_omega = 1.0 / jnp.maximum(_TWO_PI * (1.0 - cosmax), 1e-8)

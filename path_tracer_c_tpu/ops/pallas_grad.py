@@ -101,7 +101,7 @@ def _fused_kernel(
     le_store,  # (B+1, 3, TH, TW) hit material's emission (eco * est)
     dr_store,  # (B+1, TH, TW) transparency ratio derivative
     *,
-    th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter,
+    th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, mat_skip,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -315,15 +315,8 @@ def _fused_kernel(
                     pz + offs * side * nz, ndx, ndy, ndz, tr, tg, tb,
                     ar, ag, ab, rng, done)
 
-        # Pre-zero the per-bounce masks so bounces skipped by the early
-        # exit read as "no event" in the suffix sweep.
-        def zero_masks(b, _):
-            for k in range(3):
-                mk_store[b, k] = zero
-            return 0
-
-        jax.lax.fori_loop(0, max_bounces + 1, zero_masks, 0)
-
+        # No mask pre-zeroing needed: the sweep's dynamic lower bound
+        # visits exactly the bounces the replay wrote.
         fc0 = (
             cam_ox, cam_oy, cam_oz, sdx, sdy, sdz,
             ones, ones, ones, zero, zero, zero, st, zero,
@@ -337,7 +330,7 @@ def _fused_kernel(
             b, fc = c
             return b + 1, fwd_body(b, fc)
 
-        _, fc = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), fc0))
+        bend, fc = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), fc0))
         (_, _, _, _, _, _, tr_e, tg_e, tb_e, ar, ag, ab, _, _) = fc
 
         # bounce budget exhausted -> sky, both for the primal and for the
@@ -363,10 +356,10 @@ def _fused_kernel(
             missm = mk_store[b, 1] > 0.0
             tirm = mk_store[b, 2] > 0.0
             mat = mat_store[b]
-            # Every read of the replay stores must be jnp.where-SELECTED
-            # by its event mask, never mask-multiplied: bounces skipped by
-            # the early exit leave their scratch uninitialized (NaN in
-            # VMEM), and 0 * NaN is NaN — only the masks are pre-zeroed.
+            # The sweep's dynamic lower bound only visits bounces the
+            # replay wrote, so every store read here is initialized; the
+            # event-mask selects keep dead lanes' garbage out of the
+            # accumulators regardless.
             Pr = jnp.where(hitm | missm, p_store[b, 0], 0.0)
             Pg = jnp.where(hitm | missm, p_store[b, 1], 0.0)
             Pb_ = jnp.where(hitm | missm, p_store[b, 2], 0.0)
@@ -397,14 +390,19 @@ def _fused_kernel(
             cRg = cAg * dr
             cRb = cAb * dr
 
-            # accumulate per material; tiles rarely touch every material
-            # at every bounce, so skip materials with no hit lane here
-            # (scalar predicate -> the 9 read-modify-writes are elided)
+            # accumulate per material. The weight planes are already zero
+            # off their event masks, so the material mask alone (no & hitm)
+            # segregates exactly. ``mat_skip`` guards each material's 9
+            # read-modify-writes behind a tile-level presence test — a
+            # cross-lane reduce per material. Measured on v5e (glossy,
+            # n_mat=15): the reduce costs MORE than the 9 masked FMAs it
+            # elides (0.393 s vs 0.294 s per fused render), so the
+            # default is the unconditional path; the flag remains for
+            # scenes with very large material tables.
             def mat_body(mi, _):
-                mskf = jnp.where((mat == mi) & hitm, 1.0, 0.0)
+                mskf = jnp.where(mat == mi, 1.0, 0.0)
 
-                @pl.when(jnp.max(mskf) > 0.0)
-                def _():
+                def accumulate():
                     base = _MAT_J_PLANES * mi
                     j_ref[base + 0] = j_ref[base + 0] + mskf * cAr
                     j_ref[base + 1] = j_ref[base + 1] + mskf * cAg
@@ -416,6 +414,11 @@ def _fused_kernel(
                     j_ref[base + 7] = j_ref[base + 7] + mskf * cRg
                     j_ref[base + 8] = j_ref[base + 8] + mskf * cRb
 
+                if mat_skip:
+                    hit_here = jnp.where(mat == mi, mk_store[b, 0], 0.0)
+                    pl.when(jnp.max(hit_here) > 0.0)(accumulate)
+                else:
+                    accumulate()
                 return 0
 
             jax.lax.fori_loop(0, n_mat, mat_body, 0)
@@ -433,9 +436,15 @@ def _fused_kernel(
             Tb = jnp.where(hitm, Lb + Ab * Tb_h, jnp.where(missm, sky_b, Tb))
             return (Tr, Tg, Tb)
 
+        # Sweep only the bounces the replay executed (dynamic lower
+        # bound): bounces >= bend have all-zero masks and would be
+        # no-ops, but still cost the loop body. T0 = sky is only read by
+        # lanes alive at bend (budget exhaustion); dead lanes re-anchor
+        # their carry at their death bounce.
         T0 = (jnp.full((th, tw), sky_r), jnp.full((th, tw), sky_g),
               jnp.full((th, tw), sky_b))
-        jax.lax.fori_loop(0, max_bounces + 1, bwd_body, T0)
+        jax.lax.fori_loop(max_bounces + 1 - bend, max_bounces + 1,
+                          bwd_body, T0)
         return (acc_r, acc_g, acc_b)
 
     acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
@@ -485,7 +494,7 @@ def _fit_tile(rows, width, tile, n_mat, max_bounces, bounce_planes=15,
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret",
-        "rows", "jitter",
+        "rows", "jitter", "mat_skip",
     ),
 )
 def render_pallas_fused(
@@ -502,6 +511,7 @@ def render_pallas_fused(
     row_start=0,
     rows: int | None = None,
     jitter: bool = False,
+    mat_skip: bool = False,
 ):
     """Primal radiance image (rows, W, 3) PLUS its per-pixel material
     Jacobian (9*M+3, rows, W) in one kernel pass (module docstring).
@@ -527,6 +537,7 @@ def render_pallas_fused(
         spp=spp,
         max_bounces=max_bounces,
         jitter=jitter,
+        mat_skip=mat_skip,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     par_i = jnp.stack(

@@ -93,13 +93,18 @@ def _normal(state):
 
 
 def _unit_sphere(state):
-    # cylindrical (z, phi) sampler — bit-matches ops/rng.unit_sphere
+    # cylindrical (z, phi) sampler — bit-matches ops/rng.unit_sphere,
+    # including its polynomial sincos (the shared trig spec; a real
+    # sin/cos here would both break bit-parity with the core stream and
+    # cost ~100x the ALU rate on the VPU — ops/rng.sincos_2pi).
+    from . import rng as _rng
+
     state, u1 = _uniform(state)
     state, u2 = _uniform(state)
     z = 1.0 - 2.0 * u1
-    phi = _TWO_PI * u2
+    c, s = _rng.sincos_2pi(u2)
     r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-    return state, (r * jnp.cos(phi), r * jnp.sin(phi), z)
+    return state, (r * c, r * s, z)
 
 
 def make_geometry(

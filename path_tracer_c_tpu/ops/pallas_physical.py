@@ -215,11 +215,14 @@ def make_physical_shading(
         rfx = dx - 2.0 * ndot * nx
         rfy = dy - 2.0 * ndot * ny
         rfz = dz - 2.0 * ndot * nz
-        # cosine-weighted diffuse about the geometric normal
+        # cosine-weighted diffuse about the geometric normal (shared
+        # polynomial trig spec — ops/rng.sincos_2pi)
+        from . import rng as _rngmod
+
         rdiff = jnp.sqrt(u1)
-        phi_d = _TWO_PI * u2
-        lx = rdiff * jnp.cos(phi_d)
-        ly = rdiff * jnp.sin(phi_d)
+        cphi_d, sphi_d = _rngmod.sincos_2pi(u2)
+        lx = rdiff * cphi_d
+        ly = rdiff * sphi_d
         lz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
         (tx_, ty_, tz_), (bx_, by_, bz_) = _onb(nx, ny, nz)
         ddx = lx * tx_ + ly * bx_ + lz * nx
@@ -302,10 +305,10 @@ def make_physical_shading(
             outside = d2 > rer * rer
             cth = 1.0 - v1 * (1.0 - cosmax)
             sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 1e-12))
-            phi = _TWO_PI * v2
+            cp_, sp_ = _rngmod.sincos_2pi(v2)  # shared polynomial trig
             (tax, tay, taz), (bax, bay, baz) = _onb(wzx, wzy, wzz)
-            cphi = sth * jnp.cos(phi)
-            sphi = sth * jnp.sin(phi)
+            cphi = sth * cp_
+            sphi = sth * sp_
             omx = cphi * tax + sphi * bax + cth * wzx
             omy = cphi * tay + sphi * bay + cth * wzy
             omz = cphi * taz + sphi * baz + cth * wzz
@@ -644,15 +647,8 @@ def _phys_bwd_kernel(
         else:
             sdx, sdy, sdz = pdx, pdy, pdz
 
-        # Pre-zero the per-bounce masks so bounces skipped by the early
-        # exit read as "no event" in the suffix sweep.
-        def zero_masks(b, _):
-            for k in range(6):
-                mk_store[b, k] = zero
-            return 0
-
-        jax.lax.fori_loop(0, max_bounces + 1, zero_masks, 0)
-
+        # No mask pre-zeroing needed: the sweep's dynamic lower bound
+        # visits exactly the bounces the replay wrote.
         state0 = (
             cam_ox, cam_oy, cam_oz,
             sdx, sdy, sdz,
@@ -678,7 +674,7 @@ def _phys_bwd_kernel(
             )
             return b + 1, s_new, done
 
-        _, s_end, _ = jax.lax.while_loop(
+        bend, s_end, _ = jax.lax.while_loop(
             w_cond, w_body, (jnp.int32(0), state0, zero)
         )
         tr_e, tg_e, tb_e = s_end[6], s_end[7], s_end[8]
@@ -836,8 +832,9 @@ def _phys_bwd_kernel(
                 nzp = jnp.where(validm, n_store[b, 2], 1.0)
                 v1p = jnp.where(validm, v_store[b, 0], 0.5)
                 v2p = jnp.where(validm, v_store[b, 1], 0.5)
-                cphi = jnp.cos(_TWO_PI * v2p)
-                sphi = jnp.sin(_TWO_PI * v2p)
+                from . import rng as _rngmod
+
+                cphi, sphi = _rngmod.sincos_2pi(v2p)  # shared trig spec
                 n_em_f = par_i[0, 3].astype(jnp.float32)
 
                 def w_fn(cx, cy, cz, rr):
@@ -879,15 +876,14 @@ def _phys_bwd_kernel(
                 kkp = kk_store[b]
 
                 def gacc(k, _):
+                    # unconditional masked adds: a tile-presence reduce
+                    # costs more than the 4 RMWs it would elide (same
+                    # v5e measurement as pallas_grad's mat_skip)
                     mk = jnp.where((kkp == k) & validm, 1.0, 0.0)
-
-                    @pl.when(jnp.max(mk) > 0.0)
-                    def _():
-                        geo_acc[k, 0] = geo_acc[k, 0] + mk * dce_x
-                        geo_acc[k, 1] = geo_acc[k, 1] + mk * dce_y
-                        geo_acc[k, 2] = geo_acc[k, 2] + mk * dce_z
-                        geo_acc[k, 3] = geo_acc[k, 3] + mk * dre
-
+                    geo_acc[k, 0] = geo_acc[k, 0] + mk * dce_x
+                    geo_acc[k, 1] = geo_acc[k, 1] + mk * dce_y
+                    geo_acc[k, 2] = geo_acc[k, 2] + mk * dce_z
+                    geo_acc[k, 3] = geo_acc[k, 3] + mk * dre
                     return 0
 
                 jax.lax.fori_loop(0, n_em_cap, gacc, 0)
@@ -911,9 +907,13 @@ def _phys_bwd_kernel(
             )
             return (Sr, Sg, Sb)
 
+        # Sweep only the bounces the replay executed (dynamic lower
+        # bound; see pallas_grad.py — T0 = sky is only consumed by lanes
+        # alive at bend, dead lanes re-anchor at their death bounce).
         S0 = (jnp.full((th, tw), sky_r), jnp.full((th, tw), sky_g),
               jnp.full((th, tw), sky_b))
-        jax.lax.fori_loop(0, max_bounces + 1, bwd_body, S0)
+        jax.lax.fori_loop(max_bounces + 1 - bend, max_bounces + 1,
+                          bwd_body, S0)
         return carry
 
     jax.lax.fori_loop(0, spp, sample_body, 0)

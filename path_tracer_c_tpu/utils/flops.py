@@ -47,10 +47,14 @@ _ALU = {
     "bitcast_convert_type", "clamp", "nextafter", "copy",
     "is_finite", "integer_pow", "square",
 }
-_TRANSC = {
-    "sqrt", "rsqrt", "log", "log1p", "exp", "expm1", "sin", "cos", "tan",
-    "atan2", "logistic", "tanh", "pow", "erf", "cbrt",
-}
+# Transcendentals by hardware class — each class is *measured* separately
+# by measure_vpu_rate (sqrt-family ops are several times cheaper than the
+# polynomial trig/exp families on the VPU, so one blended "transcendental"
+# rate would mis-model kernels whose mix differs from the calibration's).
+_SQRT = {"sqrt", "rsqrt", "cbrt"}
+_TRIG = {"sin", "cos", "tan", "atan2"}
+_EXPLOG = {"log", "log1p", "exp", "expm1", "logistic", "tanh", "pow", "erf"}
+_TRANSC = _SQRT | _TRIG | _EXPLOG
 # Pure data-movement / bookkeeping: no VPU math.
 _FREE = {
     "broadcast_in_dim", "reshape", "transpose", "squeeze", "slice",
@@ -60,6 +64,11 @@ _FREE = {
     # Pallas ref/bookkeeping ops inside kernel jaxprs
     "get", "swap", "addupdate", "program_id", "bitcast", "masked_load",
     "masked_store", "load", "store", "num_programs",
+    # O(n_objects) host-side wrapper math around the physical kernels
+    # (emitter cumsum table, searchsorted ordinal->sphere scatter):
+    # scene-sized, nanoseconds next to the per-lane kernel work.
+    "cumsum", "scatter-add", "le_to", "add_any", "select_and_scatter_add",
+    "sort", "reduce_precision",
 }
 # Reductions: one op per *input* element (tree-add on the VPU).
 _REDUCE = {"reduce_sum", "reduce_max", "reduce_min", "reduce_and",
@@ -112,13 +121,15 @@ def _count_jaxpr(jaxpr, while_trips: float, counts: dict, scale: float = 1.0):
             # today; conservative if one appears)
             best = None
             for br in eqn.params["branches"]:
-                sub = {"alu": 0.0, "transcendental": 0.0, "unknown": 0.0}
+                sub = {"alu": 0.0, "transcendental": 0.0, "unknown": 0.0,
+                       "sqrt": 0.0, "trig": 0.0, "explog": 0.0}
                 _count_jaxpr(br.jaxpr, while_trips, sub, 1.0)
                 if best is None or (sub["alu"] + sub["transcendental"]
                                     > best["alu"] + best["transcendental"]):
                     best = sub
-            for k in ("alu", "transcendental", "unknown"):
-                counts[k] += scale * best[k]
+            for k in ("alu", "transcendental", "unknown", "sqrt", "trig",
+                      "explog"):
+                counts[k] += scale * best.get(k, 0.0)
             counts.setdefault("unknown_prims", set()).update(
                 best.get("unknown_prims", ()))
             continue
@@ -133,6 +144,9 @@ def _count_jaxpr(jaxpr, while_trips: float, counts: dict, scale: float = 1.0):
             counts["alu"] += scale * size
         elif name in _TRANSC:
             counts["transcendental"] += scale * size
+            cls = ("sqrt" if name in _SQRT
+                   else "trig" if name in _TRIG else "explog")
+            counts[cls] = counts.get(cls, 0.0) + scale * size
         else:
             counts["unknown"] += scale * size
             counts.setdefault("unknown_prims", set()).add(name)
@@ -147,7 +161,8 @@ def count_ops(fn, *args, while_trips: float = 1.0, **kwargs):
     empty for kernels you are reporting MFU on.
     """
     jaxpr = jax.make_jaxpr(partial(fn, **kwargs))(*args).jaxpr
-    counts = {"alu": 0.0, "transcendental": 0.0, "unknown": 0.0}
+    counts = {"alu": 0.0, "transcendental": 0.0, "unknown": 0.0,
+              "sqrt": 0.0, "trig": 0.0, "explog": 0.0}
     _count_jaxpr(jaxpr, while_trips, counts)
     return counts
 
@@ -219,7 +234,7 @@ def kernel_op_counts(scene, camera, spp: int, max_bounces: int,
 _CALIB_UNROLL = 16
 
 
-def _calib_kernel(reps_ref, x_ref, o_ref, *, transcendental: bool):
+def _calib_kernel(reps_ref, x_ref, o_ref, *, kind: str):
     x = x_ref[...]
     # reps is a RUNTIME scalar (SMEM): one compiled kernel serves every
     # reps value — the tunneled backend's cold compiles are minutes each,
@@ -227,14 +242,19 @@ def _calib_kernel(reps_ref, x_ref, o_ref, *, transcendental: bool):
     reps = reps_ref[0]
 
     def one(v):
-        # two dependent FMAs (4 ALU ops/lane); the loop-carried dependence
-        # defeats CSE while the tile's vregs give independent chains.
-        if transcendental:
-            # 1 sqrt + 1 ALU add per round (fixed point v ~= 1.686, so the
-            # chain stays bounded); the add's time is subtracted at the
-            # measured ALU rate by measure_vpu_rate (ADVICE r2: crediting
-            # mixed rounds entirely to the sqrt understated transc_rate).
-            return jnp.sqrt(v + 1.5)
+        # Each round is a dependent chain (defeats CSE) with a bounded
+        # fixed point; the extra ALU ops in the non-alu rounds are
+        # subtracted at the measured ALU rate by measure_vpu_rate
+        # (ADVICE r2: crediting mixed rounds entirely to the
+        # transcendental understated its rate).
+        if kind == "sqrt":
+            return jnp.sqrt(v + 1.5)  # 1 sqrt + 1 ALU; fixed point ~1.686
+        if kind == "trig":
+            return jnp.cos(v)  # 1 trig, 0 ALU; fixed point ~0.739
+        if kind == "explog":
+            # 1 explog + 2 ALU; |v| decays toward 0, stays finite
+            return jnp.log1p(jnp.abs(v) * 0.5)
+        # two dependent FMAs (4 ALU ops/lane)
         a = v * np.float32(1.000000119) + np.float32(1e-7)
         return a * np.float32(0.999999881) + np.float32(-1e-7)
 
@@ -252,23 +272,26 @@ def _calib_kernel(reps_ref, x_ref, o_ref, *, transcendental: bool):
 
 def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
                      shape=(64, 128), iters: int = 3,
-                     alu_rate: float | None = None):
+                     alu_rate: float | None = None,
+                     kind: str | None = None):
     """Achieved per-chip VPU op rate (ops/s), dispatch overhead removed.
 
-    Times a Pallas kernel doing ``reps`` x 16-unrolled rounds of 4
-    dependent ALU ops (or 1 sqrt + 1 ALU add when ``transcendental``) per
-    lane per round on a register-resident (8,128)-aligned tile, at
-    ``reps`` AND ``2*reps``, and takes the rate from the time DIFFERENCE
-    — cancelling the fixed per-dispatch cost (the tunneled backend adds
-    ~30 ms per invocation, which at small reps dominates and understates
-    the rate several-fold). In transcendental mode, pass the measured
-    ``alu_rate`` so the round's 1 ALU add is subtracted at that rate and
-    the returned rate reflects the sqrt alone (ADVICE r2); without it the
-    add is conservatively left in (rate slightly understated, never
-    overstated)."""
+    ``kind`` selects the op class: "alu" (4 dependent FMA ops/round),
+    "sqrt" (1 sqrt + 1 add), "trig" (1 cos), "explog" (1 log1p + 2 ALU).
+    The boolean ``transcendental`` is the legacy spelling of
+    kind="sqrt". Times the calibration kernel at ``reps`` AND ``2*reps``
+    and takes the rate from the time DIFFERENCE — cancelling the fixed
+    per-dispatch cost (the tunneled backend adds ~30 ms per invocation,
+    which at small reps dominates and understates the rate several-fold).
+    For non-alu kinds, pass the measured ``alu_rate`` so the round's ALU
+    ops are subtracted at that rate and the returned rate reflects the
+    transcendental alone (ADVICE r2); without it they are conservatively
+    left in (rate slightly understated, never overstated)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if kind is None:
+        kind = "sqrt" if transcendental else "alu"
     interpret = jax.default_backend() != "tpu"
     if interpret:
         reps = min(reps, 8)
@@ -280,7 +303,7 @@ def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
     fn = jax.jit(
         lambda r, s: jnp.sum(
             pl.pallas_call(
-                partial(_calib_kernel, transcendental=transcendental),
+                partial(_calib_kernel, kind=kind),
                 out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                           pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -310,12 +333,14 @@ def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
     t2 = timed(2 * reps)
     dt = max(t2 - t1, 1e-9)
     lanes = shape[0] * shape[1]
-    per_round = (1 if transcendental else 4) * _CALIB_UNROLL
-    if transcendental and alu_rate:
-        # remove the round's 1 ALU add at the measured ALU rate
-        alu_ops = lanes * reps * 1 * _CALIB_UNROLL
+    measured_per_round, alu_per_round = {
+        "alu": (4, 0), "sqrt": (1, 1), "trig": (1, 0), "explog": (1, 2),
+    }[kind]
+    if alu_per_round and alu_rate:
+        # remove the round's ALU ops at the measured ALU rate
+        alu_ops = lanes * reps * alu_per_round * _CALIB_UNROLL
         dt = max(dt - alu_ops / alu_rate, 1e-9)
-    return lanes * reps * per_round / dt
+    return lanes * reps * measured_per_round * _CALIB_UNROLL / dt
 
 
 def sol_report(scene, camera, height: int, width: int, spp: int,
@@ -342,14 +367,27 @@ def sol_report(scene, camera, height: int, width: int, spp: int,
     alu = counts["alu"] * n_tiles
     transc = counts["transcendental"] * n_tiles
     if alu_rate is None:
-        alu_rate = measure_vpu_rate(transcendental=False)
+        alu_rate = measure_vpu_rate(kind="alu")
     if transc_rate is None:
-        transc_rate = measure_vpu_rate(transcendental=True,
-                                       alu_rate=alu_rate)
-    sol_seconds = alu / alu_rate + transc / transc_rate
+        # per-class rates: sqrt-family ops are much cheaper than the
+        # polynomial trig/explog families, so each class is timed alone
+        transc_rate = {
+            cls: measure_vpu_rate(kind=cls, alu_rate=alu_rate)
+            for cls in ("sqrt", "trig", "explog")
+        }
+    if not isinstance(transc_rate, dict):  # legacy single blended rate
+        transc_rate = {cls: transc_rate for cls in ("sqrt", "trig",
+                                                    "explog")}
+    sol_seconds = alu / alu_rate + sum(
+        counts[cls] * n_tiles / transc_rate[cls]
+        for cls in ("sqrt", "trig", "explog")
+    )
     return {
         "alu_ops": alu,
         "transcendental_ops": transc,
+        "sqrt_ops": counts["sqrt"] * n_tiles,
+        "trig_ops": counts["trig"] * n_tiles,
+        "explog_ops": counts["explog"] * n_tiles,
         "unknown_ops": counts["unknown"] * n_tiles,
         "unknown_prims": sorted(counts.get("unknown_prims", ())),
         "measured_alu_ops_per_sec": alu_rate,

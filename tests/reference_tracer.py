@@ -51,14 +51,40 @@ def normal(state: int):
     return state, float(rho * np.float32(math.cos(theta)))
 
 
+def sincos_2pi(u: float):
+    """f32 mirror of ops/rng.sincos_2pi — the shared polynomial trig
+    spec (quadrant fold + degree-6/7 minimax on [-pi/4, pi/4])."""
+    f = np.float32
+    u = f(u)
+    k = np.floor(u * f(4.0) + f(0.5))
+    r = f(u * f(2.0 * math.pi) - k * f(math.pi / 2.0))
+    t2 = r * r
+    cosr = f(1.0) + t2 * (
+        f(-4.9999915618e-01) + t2 * (f(4.1657625659e-02)
+                                     + t2 * f(-1.3615911837e-03))
+    )
+    sinr = r * (
+        f(1.0) + t2 * (f(-1.6666653296e-01)
+                       + t2 * (f(8.3321242496e-03)
+                               + t2 * f(-1.9513782088e-04)))
+    )
+    k4 = k - f(4.0) * np.floor(k * f(0.25))
+    swap = k4 in (1.0, 3.0)
+    a, b = (sinr, cosr) if swap else (cosr, sinr)
+    c = -a if k4 in (1.0, 2.0) else a
+    s = -b if k4 in (2.0, 3.0) else b
+    return float(c), float(s)
+
+
 def unit_sphere(state: int):
-    """Cylindrical (z, phi) uniform sphere sampler — mirrors ops/rng.py."""
+    """Cylindrical (z, phi) uniform sphere sampler — mirrors ops/rng.py,
+    polynomial sincos included (the shared trig spec)."""
     state, u1 = uniform(state)
     state, u2 = uniform(state)
     z = 1.0 - 2.0 * u1
-    phi = float(np.float32(2.0 * math.pi) * np.float32(u2))
+    c, s = sincos_2pi(u2)
     r = math.sqrt(max(1.0 - z * z, 0.0))
-    return state, np.array([r * math.cos(phi), r * math.sin(phi), z])
+    return state, np.array([r * c, r * s, z])
 
 
 def unit_sphere_biased(state: int):
@@ -415,9 +441,9 @@ def incident_light_physical(sc, o, d, state, max_bounces, nee=True):
         elif choose_diff:
             # cosine-weighted hemisphere about the geometric normal
             r_ = math.sqrt(u1)
-            phi_d = 2.0 * math.pi * u2
-            lx = r_ * math.cos(phi_d)
-            ly = r_ * math.sin(phi_d)
+            cphi_d, sphi_d = sincos_2pi(u2)
+            lx = r_ * cphi_d
+            ly = r_ * sphi_d
             lz = math.sqrt(max(1.0 - u1, 0.0))
             t_ax, b_ax = _onb(nrm)
             new_d = lx * t_ax + ly * b_ax + lz * nrm
@@ -444,11 +470,11 @@ def incident_light_physical(sc, o, d, state, max_bounces, nee=True):
             outside = d2 > r_e * r_e
             cth = 1.0 - v1 * (1.0 - cosmax)
             sth = math.sqrt(max(1.0 - cth * cth, 1e-12))
-            phi = 2.0 * math.pi * v2
+            cphi, sphi = sincos_2pi(v2)
             t_ax, b_ax = _onb(wz)
             omega = (
-                sth * math.cos(phi) * t_ax
-                + sth * math.sin(phi) * b_ax
+                sth * cphi * t_ax
+                + sth * sphi * b_ax
                 + cth * wz
             )
             pdf_omega = 1.0 / max(2.0 * math.pi * (1.0 - cosmax), 1e-8)
