@@ -164,33 +164,41 @@ def main():
         )
 
         ptarget = jax.block_until_ready(phys(jnp.uint32(515151)))
-        pgrad_fn = jax.jit(
-            jax.grad(
-                lambda sc, sd: jnp.mean(
-                    (
-                        render_physical_pallas_vjp(
-                            sc, cam, H, W, SPP, BOUNCES, sd
+
+        def time_pgrad(geom):
+            fn = jax.jit(
+                jax.grad(
+                    lambda sc, sd: jnp.mean(
+                        (
+                            render_physical_pallas_vjp(
+                                sc, cam, H, W, SPP, BOUNCES, sd, geom=geom
+                            )
+                            - ptarget
                         )
-                        - ptarget
-                    )
-                    ** 2
-                ),
-                allow_int=True,
+                        ** 2
+                    ),
+                    allow_int=True,
+                )
             )
-        )
-        log("compiling physical fwd+bwd")
-        force_tree(pgrad_fn(scene, jnp.uint32(100)))
-        log("physical fwd+bwd compiled; timing")
-        times = []
-        for i in range(2):
-            t0 = time.perf_counter()
-            force_tree(pgrad_fn(scene, jnp.uint32(i + 61)))
-            times.append(time.perf_counter() - t0)
-        pbwd_s = sorted(times)[len(times) // 2]
+            log(f"compiling physical fwd+bwd (geom={geom})")
+            force_tree(fn(scene, jnp.uint32(100)))
+            log("physical fwd+bwd compiled; timing")
+            times = []
+            for i in range(2):
+                t0 = time.perf_counter()
+                force_tree(fn(scene, jnp.uint32(i + 61)))
+                times.append(time.perf_counter() - t0)
+            return sorted(times)[len(times) // 2]
+
+        # headline: the fused materials path (training); the geom=True
+        # two-pass scheme (geometry fits) reported alongside
+        pbwd_s = time_pgrad(False)
         pbwd_rps = rays / pbwd_s
+        pbwd_geom_s = time_pgrad(True)
+        pbwd_geom_rps = rays / pbwd_geom_s
     else:
-        pbwd_s = float("nan")
-        pbwd_rps = 0.0
+        pbwd_s = pbwd_geom_s = float("nan")
+        pbwd_rps = pbwd_geom_rps = 0.0
 
     # Measured speed-of-light (VERDICT r1 item 4): op counts from the
     # kernel's own jaxpr + on-chip VPU calibration (utils/flops.py) —
@@ -235,7 +243,9 @@ def main():
             for kind, secs, key in (
                 ("fused", bwd_s, "fused_sol_fraction"),
                 ("physical", phys_s, "physical_sol_fraction"),
-                ("physical_bwd", pbwd_s - phys_s, "physical_bwd_sol_fraction"),
+                ("physical_fused", pbwd_s, "physical_fused_sol_fraction"),
+                ("physical_bwd", pbwd_geom_s - phys_s,
+                 "physical_bwd_sol_fraction"),
             ):
                 try:
                     r = sol_report(scene, cam, H, W, SPP, BOUNCES, secs,
@@ -267,6 +277,12 @@ def main():
                     # None off-TPU (NaN is not valid JSON)
                     "physical_fwd_bwd_seconds": (
                         round(pbwd_s, 4) if pbwd_s == pbwd_s else None
+                    ),
+                    "physical_fwd_bwd_geom_rays_per_sec": round(
+                        pbwd_geom_rps, 1),
+                    "physical_fwd_bwd_geom_seconds": (
+                        round(pbwd_geom_s, 4)
+                        if pbwd_geom_s == pbwd_geom_s else None
                     ),
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),

@@ -75,9 +75,11 @@ def render_loss(
         if engine == "physical_pallas":
             from ..ops.pallas_physical import render_physical_pallas_vjp
 
+            # material-fit objective: the fused primal+Jacobian kernel
+            # (geom=False) — geometry cotangents aren't consumed here
             img = render_physical_pallas_vjp(
                 scene, camera, height, width, spp, max_bounces, seed,
-                jitter=False,
+                jitter=False, geom=False,
             )
         else:
             from ..models.physical import render_physical

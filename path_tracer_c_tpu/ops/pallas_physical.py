@@ -358,6 +358,7 @@ def make_physical_shading(
             kk_ord = jnp.zeros((th, tw), jnp.int32)
 
         if store is not None:
+            validf = jnp.where(valid, 1.0, 0.0)
             store(
                 b,
                 dict(
@@ -372,6 +373,32 @@ def make_physical_shading(
                     addle=hitm & ~nee_counted,
                     valid=valid,
                     refrm=choose_refr,
+                    # sweep-ready per-lane planes (the fused kernel's
+                    # suffix sweep is elementwise over these; the
+                    # two-pass backward re-fetches instead):
+                    # hit material's albedo and emission E = eco*est
+                    alb=(alb_r, alb_g, alb_b),
+                    E=(em_r, em_g, em_b),
+                    # transparency ratio derivative
+                    dr=jnp.where(
+                        choose_refr,
+                        1.0 / jnp.maximum(trn, 1e-6),
+                        -1.0 / jnp.maximum(1.0 - trn, 1e-6),
+                    ),
+                    # NEE contribution per unit throughput:
+                    # nee_c = valid * le_c * w / pi
+                    nee=(
+                        validf * ler * w * _INV_PI,
+                        validf * leg * w * _INV_PI,
+                        validf * leb * w * _INV_PI,
+                    ),
+                    # emitter-emission weight per unit g:
+                    # EmW_c = valid * P_c * albedo_c * w / pi
+                    EmW=(
+                        validf * P_r * alb_r * w * _INV_PI,
+                        validf * P_g * alb_g * w * _INV_PI,
+                        validf * P_b_ * alb_b * w * _INV_PI,
+                    ),
                     # NEE geometry-chain replay inputs (the backward
                     # re-runs the cone-weight chain under jax.vjp to get
                     # emitter center/radius cotangents): shadow origin,
@@ -953,6 +980,363 @@ def _phys_bwd_kernel(
         jax.lax.fori_loop(0, n_em_cap, reduce_geo, 0)
 
 
+def _phys_fused_kernel(
+    sph_c, sph_r, sph_m, sph_a,
+    tri_v0, tri_v1, tri_v2, tri_n, tri_m, tri_a,
+    m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
+    em_cum, le_sph, par_f, par_i,
+    img_ref,  # (3, TH, TW) VMEM: primal radiance tile (mean over spp)
+    j_ref,  # (9*M + 3, TH, TW) VMEM Jacobian planes; last 3 = sky K
+    # scratch
+    p_store,  # (B+1, 3, TH, TW) prefix throughput at Le time
+    mk_store,  # (B+1, 4, TH, TW) masks: hit, miss, tir, addle
+    alb_store,  # (B+1, 3, TH, TW) hit material's albedo
+    e_store,  # (B+1, 3, TH, TW) hit material's emission (eco * est)
+    nee_store,  # (B+1, 3, TH, TW) valid * le * w / pi
+    emw_store,  # (B+1, 3, TH, TW) valid * P * albedo * w / pi
+    dr_store,  # (B+1, TH, TW) transparency ratio derivative
+    mat_store,  # (B+1, TH, TW) i32 hit material
+    emat_store,  # (B+1, TH, TW) i32 sampled-emitter material
+    *,
+    th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee,
+):
+    """Fused physical-tier primal + material/sky Jacobian (the physical
+    analog of pallas_grad._fused_kernel; see that module's math). Per
+    material the Jacobian planes are A[3] (albedo, incl. the NEE term),
+    S'[3] (emission base: addle-gated P plus the emitter-keyed EmW), and
+    R[3] (transparency); 3 sky-K planes close the list. Geometry
+    cotangents are NOT produced here — geometry fits use the two-pass
+    backward (g-dependent vjp chain)."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    sky_r, sky_g, sky_b = par_f[0, 4], par_f[0, 5], par_f[0, 6]
+    cox, coy, coz = par_f[0, 7], par_f[0, 8], par_f[0, 9]
+    seed = par_i[0, 0].astype(jnp.uint32)
+    sample_offset = par_i[0, 1]
+    n_em = par_i[0, 3]
+
+    pix, ray_dirs = _camera_setup(par_f, par_i, th, tw, ti, tj)
+    zero = jnp.zeros((th, tw), jnp.float32)
+    ones = jnp.ones((th, tw), jnp.float32)
+    if not jitter:
+        pdx, pdy, pdz = ray_dirs(jnp.float32(0.5), jnp.float32(0.5))
+
+    bounce = make_physical_shading(
+        sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
+        tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph,
+        (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat, n_em, nee,
+    )
+
+    cam_ox = jnp.full((th, tw), cox)
+    cam_oy = jnp.full((th, tw), coy)
+    cam_oz = jnp.full((th, tw), coz)
+
+    n_j = 9 * n_mat + 3
+
+    def zero_j(k, _):
+        j_ref[k] = zero
+        return 0
+
+    jax.lax.fori_loop(0, n_j, zero_j, 0)
+
+    def store(b, info):
+        P_r, P_g, P_b_ = info["P"]
+        p_store[b, 0] = P_r
+        p_store[b, 1] = P_g
+        p_store[b, 2] = P_b_
+        mk_store[b, 0] = jnp.where(info["hitm"], 1.0, 0.0)
+        mk_store[b, 1] = jnp.where(info["missm"], 1.0, 0.0)
+        mk_store[b, 2] = jnp.where(info["tirm"], 1.0, 0.0)
+        mk_store[b, 3] = jnp.where(info["addle"], 1.0, 0.0)
+        for i in range(3):
+            alb_store[b, i] = info["alb"][i]
+            e_store[b, i] = info["E"][i]
+            nee_store[b, i] = info["nee"][i]
+            emw_store[b, i] = info["EmW"][i]
+        dr_store[b] = info["dr"]
+        mat_store[b] = info["mat"]
+        emat_store[b] = info["emat"]
+
+    def sample_body(s, acc_img):
+        acc_r, acc_g, acc_b = acc_img
+        sample = (s + sample_offset).astype(jnp.uint32)
+        st = (
+            pix * fk._u32(0x9E3779B9)
+            ^ sample * fk._u32(0x85EBCA6B)
+            ^ seed * fk._u32(0xC2B2AE35)
+        )
+        st, _ = fk._pcg(st)
+        st, _ = fk._pcg(st)
+        if jitter:
+            st, jx = fk._uniform(st)
+            st, jy = fk._uniform(st)
+            sdx, sdy, sdz = ray_dirs(jx, jy)
+        else:
+            sdx, sdy, sdz = pdx, pdy, pdz
+
+        state0 = (
+            cam_ox, cam_oy, cam_oz,
+            sdx, sdy, sdz,
+            ones, ones, ones,
+            zero, zero, zero,
+            st, zero,
+        )
+
+        # replay = the forward (exits only on structural deaths; a
+        # zero-albedo lane still needs its suffix carry — pallas_grad.py)
+        def w_cond(c_):
+            b, s_, done = c_
+            return (b < max_bounces + 1) & (jnp.min(done) < 1.0)
+
+        def w_body(c_):
+            b, s_, done = c_
+            s_new = bounce(s_, b=b, store=store)
+            hit_f = mk_store[b, 0]
+            tir_f = mk_store[b, 2]
+            done = jnp.maximum(
+                done, jnp.where((hit_f > 0.0) & (tir_f == 0.0), 0.0, 1.0)
+            )
+            return b + 1, s_new, done
+
+        bend, s_end, _ = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), state0, zero)
+        )
+        tr_e, tg_e, tb_e = s_end[6], s_end[7], s_end[8]
+        ar, ag, ab = s_end[9], s_end[10], s_end[11]
+        # budget exhausted -> sky; same association as _phys_kernel so
+        # the primal stays bit-identical to render_physical_pallas
+        ar = ar + tr_e * sky_r
+        ag = ag + tg_e * sky_g
+        ab = ab + tb_e * sky_b
+        acc_r = acc_r + ar
+        acc_g = acc_g + ag
+        acc_b = acc_b + ab
+        sky_base = 9 * n_mat
+        j_ref[sky_base + 0] = j_ref[sky_base + 0] + tr_e
+        j_ref[sky_base + 1] = j_ref[sky_base + 1] + tg_e
+        j_ref[sky_base + 2] = j_ref[sky_base + 2] + tb_e
+
+        # ---- suffix sweep (dynamic range; see pallas_grad.py) ----
+        def bwd_body(i, S):
+            b = max_bounces - i
+            Sr, Sg, Sb = S
+            hitm = mk_store[b, 0] > 0.0
+            missm = mk_store[b, 1] > 0.0
+            tirm = mk_store[b, 2] > 0.0
+            addle = mk_store[b, 3]
+            mat = mat_store[b]
+            emat = emat_store[b]
+            Pr = jnp.where(hitm | missm, p_store[b, 0], 0.0)
+            Pg = jnp.where(hitm | missm, p_store[b, 1], 0.0)
+            Pb_ = jnp.where(hitm | missm, p_store[b, 2], 0.0)
+            Sr_h = jnp.where(tirm, 0.0, Sr)
+            Sg_h = jnp.where(tirm, 0.0, Sg)
+            Sb_h = jnp.where(tirm, 0.0, Sb)
+
+            sky_base = 9 * n_mat
+            j_ref[sky_base + 0] = j_ref[sky_base + 0] + jnp.where(
+                missm, Pr, 0.0)
+            j_ref[sky_base + 1] = j_ref[sky_base + 1] + jnp.where(
+                missm, Pg, 0.0)
+            j_ref[sky_base + 2] = j_ref[sky_base + 2] + jnp.where(
+                missm, Pb_, 0.0)
+
+            nee_r = jnp.where(hitm, nee_store[b, 0], 0.0)
+            nee_g = jnp.where(hitm, nee_store[b, 1], 0.0)
+            nee_b = jnp.where(hitm, nee_store[b, 2], 0.0)
+            # albedo weight: P * (S_h + nee), hit lanes only
+            cAr = jnp.where(hitm, Pr * (Sr_h + nee_r), 0.0)
+            cAg = jnp.where(hitm, Pg * (Sg_h + nee_g), 0.0)
+            cAb = jnp.where(hitm, Pb_ * (Sb_h + nee_b), 0.0)
+            # emission base: addle-gated P (the Le-skip lanes add none)
+            cSr = addle * Pr
+            cSg = addle * Pg
+            cSb = addle * Pb_
+            dr = jnp.where(hitm, dr_store[b], 0.0)
+            cRr = cAr * dr
+            cRg = cAg * dr
+            cRb = cAb * dr
+            emw_r = jnp.where(hitm, emw_store[b, 0], 0.0)
+            emw_g = jnp.where(hitm, emw_store[b, 1], 0.0)
+            emw_b = jnp.where(hitm, emw_store[b, 2], 0.0)
+
+            def mat_body(mi, _):
+                mskf = jnp.where(mat == mi, 1.0, 0.0)
+                mske = jnp.where(emat == mi, 1.0, 0.0)
+                base = 9 * mi
+                j_ref[base + 0] = j_ref[base + 0] + mskf * cAr
+                j_ref[base + 1] = j_ref[base + 1] + mskf * cAg
+                j_ref[base + 2] = j_ref[base + 2] + mskf * cAb
+                j_ref[base + 3] = j_ref[base + 3] + (
+                    mskf * cSr + mske * emw_r
+                )
+                j_ref[base + 4] = j_ref[base + 4] + (
+                    mskf * cSg + mske * emw_g
+                )
+                j_ref[base + 5] = j_ref[base + 5] + (
+                    mskf * cSb + mske * emw_b
+                )
+                j_ref[base + 6] = j_ref[base + 6] + mskf * cRr
+                j_ref[base + 7] = j_ref[base + 7] + mskf * cRg
+                j_ref[base + 8] = j_ref[base + 8] + mskf * cRb
+                return 0
+
+            jax.lax.fori_loop(0, n_mat, mat_body, 0)
+
+            # carry: S_{b-1} = addle*E + albedo*(S_h + nee) (hit),
+            # sky (miss), pass-through (dead — re-anchored at the death)
+            Er = jnp.where(hitm, e_store[b, 0], 0.0)
+            Eg = jnp.where(hitm, e_store[b, 1], 0.0)
+            Eb = jnp.where(hitm, e_store[b, 2], 0.0)
+            Ar = jnp.where(hitm, alb_store[b, 0], 0.0)
+            Ag = jnp.where(hitm, alb_store[b, 1], 0.0)
+            Ab = jnp.where(hitm, alb_store[b, 2], 0.0)
+            Sr = jnp.where(
+                hitm, addle * Er + Ar * (Sr_h + nee_r),
+                jnp.where(missm, sky_r, Sr),
+            )
+            Sg = jnp.where(
+                hitm, addle * Eg + Ag * (Sg_h + nee_g),
+                jnp.where(missm, sky_g, Sg),
+            )
+            Sb = jnp.where(
+                hitm, addle * Eb + Ab * (Sb_h + nee_b),
+                jnp.where(missm, sky_b, Sb),
+            )
+            return (Sr, Sg, Sb)
+
+        S0 = (jnp.full((th, tw), sky_r), jnp.full((th, tw), sky_g),
+              jnp.full((th, tw), sky_b))
+        jax.lax.fori_loop(max_bounces + 1 - bend, max_bounces + 1,
+                          bwd_body, S0)
+        return (acc_r, acc_g, acc_b)
+
+    acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
+    inv = jnp.float32(1.0 / spp)
+    img_ref[0] = acc[0] * inv
+    img_ref[1] = acc[1] * inv
+    img_ref[2] = acc[2] * inv
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "spp", "max_bounces", "tile", "interpret",
+        "rows", "jitter", "nee",
+    ),
+)
+def render_physical_pallas_fused(
+    scene: Scene,
+    camera: Camera,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounces: int,
+    seed,
+    sample_offset=0,
+    tile=PHYS_BWD_TILE,
+    interpret: bool = False,
+    row_start=0,
+    rows: int | None = None,
+    jitter: bool = True,
+    nee: bool = True,
+):
+    """Physical-tier primal radiance (rows, W, 3) PLUS its per-pixel
+    material/sky Jacobian (9*M+3, rows, W) in one kernel pass — the
+    physical analog of pallas_grad.render_pallas_fused. Contract with
+    :func:`contract_physical_jacobian`. No geometry cotangents (those
+    need the g-dependent two-pass backward)."""
+    rows = height if rows is None else rows
+    th, tw = _fit_tile(
+        rows, width, tile, scene.num_materials, max_bounces,
+        bounce_planes=21, mat_planes=9, fixed_planes=6,
+    )
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    n_mat = scene.num_materials
+    bplus = max_bounces + 1
+    n_j = 9 * n_mat + 3
+    kern = partial(
+        _phys_fused_kernel,
+        th=th, tw=tw,
+        n_sph=scene.num_spheres,
+        n_tri=scene.num_triangles,
+        n_mat=n_mat,
+        spp=spp,
+        max_bounces=max_bounces,
+        jitter=jitter,
+        nee=nee,
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    operands = _phys_operands(
+        scene, camera, height, width, seed, sample_offset, row_start
+    )
+    img, jac = pl.pallas_call(
+        kern,
+        grid=(rows // th, width // tw),
+        in_specs=[smem() for _ in operands],
+        out_specs=[
+            pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_j, th, tw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, rows, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_j, rows, width), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # p_store
+            pltpu.VMEM((bplus, 4, th, tw), jnp.float32),  # mk_store
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # alb_store
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # e_store
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # nee_store
+            pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # emw_store
+            pltpu.VMEM((bplus, th, tw), jnp.float32),  # dr_store
+            pltpu.VMEM((bplus, th, tw), jnp.int32),  # mat_store
+            pltpu.VMEM((bplus, th, tw), jnp.int32),  # emat_store
+        ],
+        interpret=interpret,
+    )(*operands)
+    return jnp.transpose(img, (1, 2, 0)), jac
+
+
+def contract_physical_jacobian(scene: Scene, jac, g, spp: int):
+    """Scene cotangent pytree (materials + sky; geometry zeros) from the
+    fused physical kernel's Jacobian and the image cotangent g."""
+    import dataclasses
+
+    n_mat = scene.num_materials
+    mats = scene.materials
+    g_cp = jnp.transpose(g.astype(jnp.float32), (2, 0, 1))
+    jm = jac[: 9 * n_mat].reshape(n_mat, 3, 3, jac.shape[1], jac.shape[2])
+    gq = jnp.einsum("mkchw,chw->mkc", jm, g_cp) / spp
+    d_alb = gq[:, 0]
+    d_eco = gq[:, 1] * mats.emission_strength[:, None]
+    d_est = jnp.sum(gq[:, 1] * mats.emission_color, axis=1)
+    d_trn = jnp.sum(gq[:, 2] * mats.albedo, axis=1)
+    d_sky = jnp.einsum("chw,chw->c", jac[9 * n_mat:], g_cp) / spp
+
+    zeros = lambda x: jnp.zeros_like(x)
+    d_mats = dataclasses.replace(
+        mats,
+        albedo=d_alb,
+        emission_color=d_eco,
+        emission_strength=d_est,
+        transparency=d_trn,
+        roughness=zeros(mats.roughness),
+        metallicity=zeros(mats.metallicity),
+        refractive_index=zeros(mats.refractive_index),
+    )
+    return dataclasses.replace(
+        scene,
+        materials=d_mats,
+        spheres=jax.tree_util.tree_map(zeros, scene.spheres),
+        triangles=jax.tree_util.tree_map(zeros, scene.triangles),
+        sky_color=d_sky,
+    )
+
+
 def _emitter_operands(scene: Scene):
     """Host-side emissive-sphere table: (cumulative emitter count (S,1)
     i32, premultiplied emitter radiance (S,3) f32, n_em scalar i32) —
@@ -1202,10 +1586,10 @@ def render_physical_pallas_bwd(
 # -- differentiable wrapper: Pallas forward + Pallas material backward ------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def _render_physical_pallas_vjp(
     scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-    seed, sample_offset, row_start,
+    geom, seed, sample_offset, row_start,
 ):
     return render_physical_pallas(
         scene, camera, height, width, spp, max_bounces, seed,
@@ -1216,23 +1600,38 @@ def _render_physical_pallas_vjp(
 
 def _vjp_fwd(
     scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-    seed, sample_offset, row_start,
+    geom, seed, sample_offset, row_start,
 ):
-    out = render_physical_pallas(
+    if geom:
+        # two-pass scheme: plain forward now, replay+sweep backward with
+        # the g-dependent NEE geometry chain later
+        out = render_physical_pallas(
+            scene, camera, height, width, spp, max_bounces, seed,
+            sample_offset=sample_offset, row_start=row_start, rows=rows,
+            jitter=jitter, nee=nee,
+        )
+        return out, (scene, camera, seed, sample_offset, row_start, None)
+    # materials-only: fused primal+Jacobian kernel, backward is a
+    # contraction — no ray traced twice (pallas_grad.py's scheme)
+    out, jac = render_physical_pallas_fused(
         scene, camera, height, width, spp, max_bounces, seed,
         sample_offset=sample_offset, row_start=row_start, rows=rows,
         jitter=jitter, nee=nee,
     )
-    return out, (scene, camera, seed, sample_offset, row_start)
+    return out, (scene, camera, None, None, None, jac)
 
 
-def _vjp_bwd(height, width, spp, max_bounces, rows, jitter, nee, res, g):
-    scene, camera, seed, sample_offset, row_start = res
-    d_scene = render_physical_pallas_bwd(
-        scene, camera, g, height, width, spp, max_bounces, seed,
-        sample_offset=sample_offset, row_start=row_start, rows=rows,
-        jitter=jitter, nee=nee,
-    )
+def _vjp_bwd(height, width, spp, max_bounces, rows, jitter, nee, geom,
+             res, g):
+    scene, camera, seed, sample_offset, row_start, jac = res
+    if geom:
+        d_scene = render_physical_pallas_bwd(
+            scene, camera, g, height, width, spp, max_bounces, seed,
+            sample_offset=sample_offset, row_start=row_start, rows=rows,
+            jitter=jitter, nee=nee,
+        )
+    else:
+        d_scene = contract_physical_jacobian(scene, jac, g, spp)
     d_scene = fk._float0_ints(d_scene, scene)
     d_camera = jax.tree_util.tree_map(jnp.zeros_like, camera)
     return d_scene, d_camera, None, None, None
@@ -1244,20 +1643,22 @@ _render_physical_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 def render_physical_pallas_vjp(
     scene, camera, height, width, spp, max_bounces, seed,
     sample_offset=0, row_start=0, rows: int | None = None,
-    jitter: bool = True, nee: bool = True,
+    jitter: bool = True, nee: bool = True, geom: bool = True,
 ):
-    """Differentiable physical-tier fast render: megakernel forward +
-    hand-written material/sky backward kernel.
+    """Differentiable physical-tier fast render.
 
-    **Materials-only VJP**: albedo, emission, transparency and sky
-    cotangents match core AD; geometry cotangents are ZERO by contract
-    (see :func:`render_physical_pallas_bwd`). Use for material fits
-    (grad/diff.fit_materials) and sharded training; for geometry
-    recovery use ``models/physical.render_physical`` under ``jax.grad``.
+    Albedo, emission, transparency and sky cotangents match core AD in
+    both modes. ``geom=True`` (default) runs the two-pass scheme
+    (forward + replay/sweep backward) whose sweep also carries the NEE
+    emitter-geometry chain — use for geometry fits. ``geom=False`` runs
+    the FUSED primal+Jacobian kernel: ~2x faster fwd+bwd, geometry
+    cotangents zero by contract — use for material fits and sharded
+    training (grad/diff, parallel/render pass it automatically).
     """
     rows = height if rows is None else rows
     return _render_physical_pallas_vjp(
         scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
+        geom,
         jnp.asarray(seed, jnp.uint32),
         jnp.asarray(sample_offset, jnp.int32),
         jnp.asarray(row_start, jnp.int32),

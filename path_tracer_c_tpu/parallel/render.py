@@ -155,6 +155,9 @@ def render_sharded(
                 row_start=ti * rows_local,
                 rows=rows_local,
                 jitter=jitter,
+                # sharded training targets materials (make_train_step);
+                # the fused kernel pair is ~2x the two-pass scheme
+                geom=False,
             )
         else:
             img = render_tile(

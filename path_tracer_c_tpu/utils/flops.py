@@ -223,6 +223,16 @@ def kernel_op_counts(scene, camera, spp: int, max_bounces: int,
                 scene, camera, g, th, tw, spp, max_bounces, s, tile=(th, tw),
                 interpret=True, jitter=jitter,
             )
+    elif kind == "physical_fused":
+        from ..ops.pallas_physical import render_physical_pallas_fused
+
+        trips = max_bounces + 1
+
+        def one_tile(s):
+            return render_physical_pallas_fused(
+                scene, camera, th, tw, spp, max_bounces, s, tile=(th, tw),
+                interpret=True, jitter=jitter,
+            )
     else:
         raise ValueError(f"unknown kernel kind {kind!r}")
 

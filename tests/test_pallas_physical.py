@@ -265,6 +265,69 @@ def test_phys_bwd_emitter_geometry_dominant_terms():
     assert np.abs(hc - cc).max() / denom < 0.25, (hc, cc)
 
 
+def test_phys_fused_primal_matches_forward():
+    """The fused physical kernel's primal IS the geom=False VJP's primal,
+    so it must be bit-identical to render_physical_pallas (same bounce()
+    code, structural-death loop only adds exact zeros)."""
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas, render_physical_pallas_fused,
+    )
+
+    for scene, nee in ((demo.cornell_spheres_scene(), True),
+                       (demo.glossy_scene(), True),
+                       (demo.cornell_spheres_scene(), False)):
+        h, w, spp, bounces, seed = 16, 128, 2, 3, 31
+        fwd = np.asarray(
+            render_physical_pallas(
+                scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+                tile=(8, 128), interpret=True, jitter=False, nee=nee,
+            )
+        )
+        fused, _ = render_physical_pallas_fused(
+            scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+            tile=(8, 128), interpret=True, jitter=False, nee=nee,
+        )
+        np.testing.assert_array_equal(fwd, np.asarray(fused))
+
+
+def test_phys_fused_jacobian_matches_two_pass_bwd():
+    """geom=False contraction grads == the two-pass replay/sweep backward
+    for materials + sky (both derive from the same estimator algebra)."""
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        contract_physical_jacobian, render_physical_pallas_bwd,
+        render_physical_pallas_fused,
+    )
+
+    scene = demo.cornell_spheres_scene()
+    h, w, spp, bounces, seed = 16, 128, 2, 3, 37
+    g = jnp.asarray(
+        np.random.default_rng(9).standard_normal((h, w, 3)), jnp.float32
+    )
+    _, jac = render_physical_pallas_fused(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+        tile=(8, 128), interpret=True, jitter=False,
+    )
+    d_fused = contract_physical_jacobian(scene, jac, g, spp)
+    d_two = render_physical_pallas_bwd(
+        scene, CAM, g, h, w, spp, bounces, jnp.uint32(seed),
+        tile=(8, 128), jitter=False,
+    )
+    for get in (
+        lambda d: d.materials.albedo,
+        lambda d: d.materials.emission_color,
+        lambda d: d.materials.emission_strength,
+        lambda d: d.materials.transparency,
+        lambda d: d.sky_color,
+    ):
+        # tolerance covers f32 summation order: the contraction reduces
+        # g*J over all pixels in XLA einsum order, the two-pass kernel
+        # accumulates per-tile then adds tiles in SMEM
+        np.testing.assert_allclose(
+            np.asarray(get(d_fused)), np.asarray(get(d_two)),
+            rtol=2e-4, atol=1e-6,
+        )
+
+
 @pytest.mark.slow
 def test_fit_geometry_fast_path_recovers_light():
     """Light-center recovery running ENTIRELY on the physical Pallas
