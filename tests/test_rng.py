@@ -89,3 +89,40 @@ def test_gaussian_sampler_unit_and_isotropic():
     v = np.asarray(v)
     np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-5)
     assert np.all(np.abs(v.mean(axis=0)) < 0.06)
+
+
+def test_sincos_2pi_polynomial_spec():
+    """The shared polynomial trig spec: accurate to a few f32 ulps vs
+    float64 trig, near-unit norm, and the oracle's numpy mirror matches
+    bit-for-bit (it IS the same formula in f32)."""
+    import math
+
+    import reference_tracer as ref
+
+    u = jnp.asarray(np.linspace(0.0, 1.0, 4097, dtype=np.float32)[:-1])
+    c, s = rng.sincos_2pi(u)
+    c, s = np.asarray(c, np.float64), np.asarray(s, np.float64)
+    u64 = np.asarray(u, np.float64)
+    assert np.abs(c - np.cos(2 * math.pi * u64)).max() < 5e-7
+    assert np.abs(s - np.sin(2 * math.pi * u64)).max() < 5e-7
+    assert np.abs(c * c + s * s - 1.0).max() < 1e-6
+    # oracle mirror is bit-identical on the same f32 inputs
+    for uu in np.random.default_rng(3).random(64, dtype=np.float32):
+        co, so = ref.sincos_2pi(float(uu))
+        cj, sj = rng.sincos_2pi(jnp.float32(uu))
+        assert np.float32(co) == np.float32(cj), uu
+        assert np.float32(so) == np.float32(sj), uu
+
+
+def test_unit_sphere_polynomial_isotropic():
+    """unit_sphere with the polynomial sincos stays unit-norm and
+    isotropic (mean direction ~0, z moments uniform)."""
+    state = rng.seed_state(
+        jnp.arange(1 << 13, dtype=jnp.int32), jnp.int32(1), jnp.uint32(5)
+    )
+    _, v = rng.unit_sphere(state)
+    v = np.asarray(v)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=2e-6)
+    assert np.all(np.abs(v.mean(axis=0)) < 0.04)
+    # z uniform on [-1,1]: var = 1/3
+    assert abs(np.var(v[:, 2]) - 1.0 / 3.0) < 0.02
