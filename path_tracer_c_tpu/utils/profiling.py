@@ -63,6 +63,12 @@ def roofline(
 ):
     """Estimated FLOPs, bytes and speed-of-light seconds for one render.
 
+    HAND-ESTIMATED back-of-envelope only (fixed per-op tables, single
+    blended VPU rate). The *measured* model — per-op-class counts from
+    the kernel's own jaxpr against on-chip calibrated rates — lives in
+    ``utils/flops.sol_report`` and is what bench.py reports; use this
+    one only for quick mental arithmetic.
+
     The kernel writes one radiance tile per pixel and reads nothing from
     HBM per bounce (scene in SMEM, state in VMEM), so it is compute-bound:
     bytes = 12 * H * W.

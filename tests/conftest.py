@@ -22,3 +22,21 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables after every test module.
+
+    The full suite compiles hundreds of distinct XLA:CPU programs in one
+    process; with enough accumulated LLVM-JIT state the CPU backend
+    eventually SEGFAULTS inside backend_compile_and_load on an otherwise
+    fine graph (reproduced in rounds 2 and 3 at different tests — always
+    after ~40+ green tests, never in isolation). Dropping the executable
+    caches between modules keeps the per-process compiler footprint
+    bounded; the cost is re-compiling the handful of cross-module shared
+    graphs."""
+    yield
+    jax.clear_caches()
