@@ -281,7 +281,7 @@ def _calib_kernel(reps_ref, x_ref, o_ref, *, kind: str):
 
 
 def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
-                     shape=(64, 128), iters: int = 3,
+                     shape=(64, 128), iters: int = 5,
                      alu_rate: float | None = None,
                      kind: str | None = None):
     """Achieved per-chip VPU op rate (ops/s), dispatch overhead removed.
@@ -337,7 +337,10 @@ def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
 
         run()  # warm (compiles once for all reps values)
         times = [run() for _ in range(iters)]
-        return sorted(times)[len(times) // 2]
+        # min, not median: timing noise is one-sided (preemption, tunnel
+        # hiccups only ever ADD time), and a noisy rate understates the
+        # ceiling -> sol_fraction wobbles above 1.0 (seen run-to-run)
+        return min(times)
 
     t1 = timed(reps)
     t2 = timed(2 * reps)

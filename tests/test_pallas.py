@@ -103,3 +103,43 @@ def test_pallas_vjp_matches_core_grad():
     g_fast = np.asarray(jax.grad(loss_fast)(a0))
     g_core = np.asarray(jax.grad(loss_core)(a0))
     np.testing.assert_allclose(g_fast, g_core, rtol=1e-3, atol=1e-7)
+
+
+def test_pallas_beyond_reference_object_caps():
+    """The reference's GPU path caps scenes at 32 materials / 32 spheres
+    / 32 triangles (rtx_frag.glsl:54-60). The SMEM scene layout has no
+    such cap: a 200-sphere, 48-material scene renders through the
+    megakernel and matches the core path."""
+    rng_ = np.random.default_rng(0)
+    b = pt.SceneBuilder(sky_color=(0.35, 0.45, 0.6))
+    mats = [
+        b.add_material(
+            albedo=tuple(0.2 + 0.7 * rng_.random(3)),
+            roughness=float(rng_.random()),
+            emission_strength=float(3.0 * (rng_.random() < 0.1)),
+            emission_color=(1.0, 0.9, 0.8),
+        )
+        for _ in range(48)
+    ]
+    for i in range(200):
+        b.add_sphere(
+            center=tuple(rng_.normal(0, 4.0, 3) + np.array([0, 0, 10.0])),
+            radius=float(0.2 + 0.5 * rng_.random()),
+            material=mats[i % len(mats)],
+        )
+    b.add_triangle(v0=(-60, -6, -60), v1=(60, -6, -60), v2=(0, -6, 80),
+                   material=mats[0])
+    scene = b.build()
+    assert scene.num_spheres == 200 and scene.num_materials == 48
+
+    h, w, spp, bounces, seed = 8, 128, 1, 2, 41
+    core = np.asarray(
+        pt.render_radiance(scene, CAM, h, w, spp, bounces, jnp.uint32(seed))
+    )
+    fast = np.asarray(
+        render_pallas(scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+                      tile=(8, 128), interpret=True)
+    )
+    assert np.isfinite(fast).all() and fast.max() > 0
+    err = np.abs(core - fast)
+    assert np.quantile(err, 0.99) < 1e-4, np.quantile(err, 0.99)
