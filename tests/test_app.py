@@ -362,3 +362,26 @@ def test_debug_nans_flag_catches_nan(tmp_path):
     ]
     with pytest.raises(FloatingPointError):
         app.main(args + ["--debug-nans"])
+
+
+@pytest.mark.slow
+def test_config4_inverse_rehearsal(tmp_path, capsys):
+    """Config-4 end-to-end rehearsal: drive the ACTUAL
+    configs/config4_inverse_spheres32.json semantics (spheres32 scene,
+    pallas engine, material recovery) through the fit CLI with the
+    workload scaled down (256^2/8spp/200 steps -> 32x128/2spp/3 steps)."""
+    import json
+    from pathlib import Path
+
+    cfg_path = Path(__file__).parent.parent / (
+        "configs/config4_inverse_spheres32.json"
+    )
+    fcfg = json.loads(cfg_path.read_text())
+    assert fcfg["render"]["scene"] == "spheres32"
+    fcfg["render"].update(width=128, height=32, spp=2, max_bounces=2)
+    fcfg.update(steps=3)
+    small = tmp_path / "cfg4_small.json"
+    small.write_text(json.dumps(fcfg))
+    app.main(["fit", "--config", str(small)])
+    out = capsys.readouterr().out
+    assert "fit: 3 steps" in out
