@@ -464,7 +464,12 @@ def cmd_fit(args):
             callback=lambda i, l: metrics.log("fit_step", step=i, loss=l),
             checkpoint_path=fcfg.checkpoint_path or None,
             checkpoint_every=fcfg.checkpoint_every,
-            engine=cfg.engine or "auto",
+            # honor an explicit engine; the config default ("pallas")
+            # maps to "auto" so off-TPU fits keep the fast core backward
+            # instead of interpreter-mode Pallas (render_loss's auto
+            # heuristic picks Pallas on TPU anyway)
+            engine=(args.engine or
+                    (cfg.engine if cfg.engine != "pallas" else "auto")),
         )
     err = float(
         jnp.abs(fitted.materials.albedo - true_scene.materials.albedo).max()

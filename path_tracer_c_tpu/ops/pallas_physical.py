@@ -62,6 +62,8 @@ from .pallas_grad import _fit_tile
 __all__ = [
     "render_physical_pallas",
     "render_physical_pallas_bwd",
+    "render_physical_pallas_fused",
+    "contract_physical_jacobian",
     "render_physical_pallas_vjp",
 ]
 
