@@ -118,12 +118,16 @@ def render_loss(
     return mse_loss(img, target)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def loss_and_grad(scene, target, camera, height, width, spp, max_bounces, seed):
-    """(loss, d loss / d scene) — gradients for every scene leaf."""
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 8))
+def loss_and_grad(scene, target, camera, height, width, spp, max_bounces,
+                  seed, engine: str = "auto"):
+    """(loss, d loss / d scene) — gradients for every scene leaf.
+
+    ``engine`` selects the differentiable render path (render_loss)."""
     return jax.value_and_grad(
         lambda sc: render_loss(
-            sc, target, camera, height, width, spp, max_bounces, seed
+            sc, target, camera, height, width, spp, max_bounces, seed,
+            engine=engine,
         ),
         allow_int=True,  # int leaves (indices, masks) get float0 grads
     )(scene)

@@ -385,3 +385,29 @@ def test_config4_inverse_rehearsal(tmp_path, capsys):
     app.main(["fit", "--config", str(small)])
     out = capsys.readouterr().out
     assert "fit: 3 steps" in out
+
+
+@pytest.mark.slow
+def test_configs_1_2_3_render_rehearsal(tmp_path):
+    """Drive the ACTUAL config files for BASELINE configs 1-3 through the
+    render CLI (scene + engine + structural knobs preserved, resolution/
+    spp scaled down), so every shipped config is exercised end to end —
+    completing the config coverage story with configs 4/5's rehearsals."""
+    import glob
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    for i in (1, 2, 3):
+        cfg_path = glob.glob(str(root / f"configs/config{i}_*.json"))[0]
+        cfg = json.loads(Path(cfg_path).read_text())
+        cfg.update(width=128, height=16, spp=2,
+                   max_bounces=min(cfg["max_bounces"], 2),
+                   output=str(tmp_path / f"c{i}.bmp"))
+        small = tmp_path / f"cfg{i}_small.json"
+        small.write_text(json.dumps(cfg))
+        app.main(["render", "--config", str(small)])
+        data = (tmp_path / f"c{i}.bmp").read_bytes()
+        assert data[:2] == b"BM", cfg_path
+        w, h = struct.unpack("<ii", data[18:26])
+        assert (w, h) == (128, 16), cfg_path
