@@ -208,3 +208,21 @@ def test_vjp_wrapper_uses_hand_kernel():
     g_fast = np.asarray(jax.grad(loss_fast)(a0))
     g_core = np.asarray(jax.grad(loss_core)(a0))
     np.testing.assert_allclose(g_fast, g_core, rtol=1e-3, atol=1e-7)
+
+
+def test_fused_mat_skip_variant_matches():
+    """The mat_skip=True variant (per-material presence-guarded
+    accumulation — kept for very large material tables, slower on the
+    bench scene) must produce the identical Jacobian."""
+    from path_tracer_c_tpu.ops.pallas_grad import render_pallas_fused
+
+    scene = _mixed_scene()
+    h, w, spp, bounces, seed = 8, 128, 2, 3, 43
+    img0, j0 = render_pallas_fused(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(seed), mat_skip=False
+    )
+    img1, j1 = render_pallas_fused(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(seed), mat_skip=True
+    )
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    np.testing.assert_array_equal(np.asarray(j0), np.asarray(j1))
