@@ -313,16 +313,44 @@ def fit_geometry(
     Runs the physical-tier estimator (the only tier with continuous
     geometry dependence). ``engine="physical"`` (default) uses core-path
     AD — complete interior gradients. ``engine="physical_pallas"`` uses
-    the fast Pallas kernel pair, whose backward carries the NEE
-    emitter-geometry chain (center/radius through the cone weight —
+    the fused Pallas kernel, whose geometry cotangents carry the NEE
+    emitter chain (center/radius through the cone weight —
     ops/pallas_physical.py): valid when the fitted spheres are the
-    emissive ones, as in light-source recovery. Interior gradients only in
-    both engines: visibility-edge (silhouette) gradients are not modeled.
-    Returns ``(scene, losses)``.
+    emissive ones, as in light-source recovery (fitting a NON-emissive
+    sphere under this engine warns — its gradient would be exactly
+    zero). The emitter-geometry cap is sized to the scene's live emitter
+    count automatically, so no light silently freezes. Interior
+    gradients only in both engines: visibility-edge (silhouette)
+    gradients are not modeled. Returns ``(scene, losses)``.
     """
     from ..models.physical import render_physical
 
     sphere_indices = tuple(int(i) for i in sphere_indices)
+    n_em_cap = 0
+    if engine == "physical_pallas":
+        import warnings
+
+        import numpy as np
+
+        # concrete scene: size the cap to the live emitter count so every
+        # emitter ordinal is tracked (VERDICT r3 item 4 — no silent zeros)
+        em = np.asarray(scene_init.spheres.active) & (
+            np.asarray(scene_init.materials.emission_strength)[
+                np.asarray(scene_init.spheres.material)
+            ]
+            > 0.0
+        )
+        n_em_cap = max(int(em.sum()), 1)
+        non_em = [int(i) for i in sphere_indices if not em[int(i)]]
+        if non_em:
+            warnings.warn(
+                f"fit_geometry(engine='physical_pallas'): spheres {non_em} "
+                "are not emissive — the fused kernel's geometry cotangent "
+                "carries only the NEE emitter chain, so their gradients "
+                "are exactly zero and they will not move. Use "
+                "engine='physical' (core AD) for non-emitter geometry.",
+                stacklevel=2,
+            )
     params = make_geometry_params(scene_init, sphere_indices)
     opt = optax.adam(lr)
     opt_state = opt.init(params)
@@ -336,7 +364,7 @@ def fit_geometry(
 
                 img = render_physical_pallas_vjp(
                     sc, camera, height, width, spp, max_bounces, seed,
-                    nee=True, jitter=False,
+                    nee=True, jitter=False, n_em_cap=n_em_cap,
                 )
             else:
                 img = render_physical(

@@ -80,8 +80,9 @@ BWD_TILE = (64, 128)
 
 # Per-material Jacobian planes: A[3] + S[3] + R[3] (module docstring).
 _MAT_J_PLANES = 9
-# Per-bounce replay scratch planes: P[3] + masks[3] + albedo[3] + Le[3] +
-# dr[1] (+ the i32 material plane).
+# Per-bounce replay scratch planes, counted from _fused_kernel's
+# scratch_shapes: P[3] + masks[3] + albedo[3] + Le[3] + dr[1] = 13 f32
+# plus the i32 material plane (same VMEM cost) = 14.
 _BOUNCE_PLANES = 14
 
 
@@ -453,7 +454,8 @@ def _fused_kernel(
     img_ref[2] = acc[2] * inv
 
 
-def _fit_tile(rows, width, tile, n_mat, max_bounces, bounce_planes=15,
+def _fit_tile(rows, width, tile, n_mat, max_bounces,
+              bounce_planes=_BOUNCE_PLANES,
               mat_planes=_MAT_J_PLANES, fixed_planes=6):
     """Largest kernel tile that (a) divides the row block / width, and
     (b) keeps the kernel's VMEM footprint within budget.
@@ -463,8 +465,9 @@ def _fit_tile(rows, width, tile, n_mat, max_bounces, bounce_planes=15,
     per-material accumulator/Jacobian planes) — note the ``n_mat`` term:
     many-material scenes must shrink the tile or blow the ~16 MB VMEM
     budget. Tile heights prefer multiples of 8 (f32 sublane).
-    ``bounce_planes`` is 15 for the fused reference-tier kernel
-    (14 f32 + 1 i32) and 15+ for the physical tier's backward."""
+    ``bounce_planes`` is ``_BOUNCE_PLANES`` (14: 13 f32 + 1 i32) for the
+    fused reference-tier kernel; the physical tier passes its own counts
+    (``_PHYS_BOUNCE_PLANES``/``_PHYS_FUSED_BOUNCE_PLANES``)."""
     th0, tw0 = tile
     tw = min(tw0, width)
     while width % tw:
@@ -514,6 +517,11 @@ def render_pallas_fused(
 ):
     """Primal radiance image (rows, W, 3) PLUS its per-pixel material
     Jacobian (9*M+3, rows, W) in one kernel pass (module docstring).
+
+    The Jacobian output is an O(n_mat * rows * width) HBM array —
+    ``(9*n_mat + 3) * rows * width * 4`` bytes (~0.5 GB at 1024^2 with
+    15 materials); the VJP holds it as its residual from forward to
+    backward (ADVICE r3 — size fit workloads accordingly).
 
     The Jacobian rows are, per material m: A[3] (albedo), S[3] (emission),
     R[3] (transparency), then 3 sky-K planes; contract with the image

@@ -435,7 +435,7 @@ def _kernel(
     par_f,  # (1, PF) f32: tan_fov2, aspect, W, H, sky rgb, cam origin/right/up/fwd
     par_i,  # (1, 2) int32: seed, sample_offset
     out_ref,  # (3, TH, TW) VMEM
-    *,
+    *maybe_cnt,  # with count_rounds: (1, 1) SMEM i32 executed-round counter
     th: int,
     tw: int,
     n_sph: int,
@@ -444,9 +444,16 @@ def _kernel(
     spp: int,
     max_bounces: int,
     jitter: bool = False,
+    count_rounds: bool = False,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
+    if count_rounds:
+        (cnt_ref,) = maybe_cnt
+
+        @pl.when((ti == 0) & (tj == 0))
+        def _():
+            cnt_ref[0, 0] = jnp.int32(0)
 
     tan2 = par_f[0, 0]
     aspect = par_f[0, 1]
@@ -501,7 +508,7 @@ def _kernel(
         mats0 = fetch_materials(hit0[4])
 
     def sample_body(s, acc):
-        acc_r, acc_g, acc_b = acc
+        acc_r, acc_g, acc_b = acc[:3]
         sample = (s + sample_offset).astype(jnp.uint32)
         # seed_state (ops/rng.py): splitmix-style mix + two PCG rounds.
         st = (
@@ -556,20 +563,31 @@ def _kernel(
             hit = closest_hit(s[0], s[1], s[2], s[3], s[4], s[5])
             return b + 1, shade(hit, fetch_materials(hit[4]), s)
 
-        _, out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(1), st13))
+        bend, out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(1), st13))
         (_, _, _, _, _, _, tr, tg, tb, ar, ag, ab, _) = out
         # Bounce budget exhausted -> sky (rtx_frag.glsl:212-214); dead
         # lanes carry zero throughput, so no mask is needed.
         ar = ar + tr * sky_r
         ag = ag + tg * sky_g
         ab = ab + tb * sky_b
+        if count_rounds:
+            # bend = hoisted round 0 + loop iterations: the trace rounds
+            # this tile actually executed for this sample (the all-dead
+            # early exit skips the rest) — the honest denominator next to
+            # the nominal max_bounces+1 (utils/metrics.rays_per_render).
+            return (acc_r + ar, acc_g + ag, acc_b + ab, acc[3] + bend)
         return (acc_r + ar, acc_g + ag, acc_b + ab)
 
-    acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
+    init = (zero, zero, zero) + (
+        (jnp.int32(0),) if count_rounds else ()
+    )
+    acc = jax.lax.fori_loop(0, spp, sample_body, init)
     inv = jnp.float32(1.0 / spp)
     out_ref[0] = acc[0] * inv
     out_ref[1] = acc[1] * inv
     out_ref[2] = acc[2] * inv
+    if count_rounds:
+        cnt_ref[0, 0] = cnt_ref[0, 0] + acc[3]
 
 
 def _scene_operands(scene: Scene):
@@ -627,7 +645,7 @@ def _camera_params(camera: Camera, scene: Scene, height: int, width: int):
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret", "rows",
-        "jitter",
+        "jitter", "count_rounds",
     ),
 )
 def render_pallas(
@@ -644,6 +662,7 @@ def render_pallas(
     row_start=0,
     rows: int | None = None,
     jitter: bool = False,
+    count_rounds: bool = False,
 ):
     """Radiance image (rows, W, 3) f32 via the Pallas megakernel.
 
@@ -654,6 +673,15 @@ def render_pallas(
     matching ``render_tile(jitter=True)`` bit-for-bit in draw order.
     ``interpret=True`` runs the kernel in interpreter mode for CPU-side
     validation.
+
+    ``count_rounds=True`` returns ``(img, executed_rounds)`` where
+    ``executed_rounds`` (scalar i32) is the total number of per-tile
+    trace rounds the kernel actually executed across all samples — the
+    all-dead early exit makes this less than the nominal
+    ``n_tiles * spp * (max_bounces + 1)``, and the executed-throughput
+    metric (bench.py) divides by ``executed_rounds * th * tw`` instead
+    of the nominal ray count. It is a separate compile of the same
+    kernel; headline timings use the plain variant.
     """
     rows = height if rows is None else rows
     th, tw = tile
@@ -676,6 +704,7 @@ def render_pallas(
         spp=spp,
         max_bounces=max_bounces,
         jitter=jitter,
+        count_rounds=count_rounds,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     par_i = jnp.stack(
@@ -688,16 +717,29 @@ def render_pallas(
         _camera_params(camera, scene, height, width),
         par_i,
     ]
+    out_specs = [
+        pl.BlockSpec(
+            (3, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((3, rows, width), jnp.float32)]
+    if count_rounds:
+        out_specs.append(
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
     out = pl.pallas_call(
         kern,
         grid=(rows // th, width // tw),
         in_specs=[smem() for _ in operands],
-        out_specs=pl.BlockSpec(
-            (3, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, rows, width), jnp.float32),
+        out_specs=out_specs if count_rounds else out_specs[0],
+        out_shape=out_shape if count_rounds else out_shape[0],
         interpret=interpret,
     )(*operands)
+    if count_rounds:
+        img, cnt = out
+        return jnp.transpose(img, (1, 2, 0)), cnt[0, 0]
     return jnp.transpose(out, (1, 2, 0))
 
 
@@ -781,6 +823,12 @@ def render_pallas_vjp(
     ``rows`` / ``sample_offset`` make this shardable under ``shard_map``
     (parallel/render.py) — the backward kernel replays the same global
     pixel/sample indices per shard.
+
+    Memory note (ADVICE r3): the fwd rule saves the fused kernel's
+    per-pixel Jacobian as the VJP residual — ``(9*n_mat + 3) * rows *
+    width * 4`` bytes of HBM held from forward to backward (~0.5 GB at
+    1024^2 with 15 materials). Row-block sharding divides it per device;
+    budget large-scene fits accordingly (docs/PERFORMANCE.md).
     """
     rows = height if rows is None else rows
     return _render_pallas_vjp(

@@ -26,15 +26,21 @@ same PCG streams as the core path, so interpreter-mode renders match
 with ``P_b`` the albedo prefix product, ``E_b`` the hit emission,
 ``w_b = cos_surf/pdf * n_em`` the NEE geometry weight. All *material*
 dependence (albedo, emission, transparency via the ratio
-reparameterization, sky) is a prefix/suffix product structure, so the VJP
-runs as a replay + suffix sweep like the reference tier's
-``pallas_grad.py``, extended with the NEE contribution and emitter-
-emission terms. **Geometry cotangents are ZERO by contract**: the
-physical tier's true geometry gradients flow through hit points, normals
-and the cone weight — a full-path AD quantity with no suffix-product
-structure — so geometry fits must use the core path
-(``models/physical.render_physical`` under ``jax.grad``); material and
-sky cotangents here match core AD (tests/test_pallas_physical.py).
+reparameterization, sky) is a prefix/suffix product structure, AND the
+NEE emitter-geometry dependence (the sampled emitter's center/radius
+through ``w_b``) is purely per-bounce-local, so the production VJP is
+ONE fused kernel (``render_physical_pallas_fused``) that emits the
+primal, the material/sky Jacobian planes (suffix sweep) and the
+emitter-geometry Jacobian planes (in-bounce, prefix-only) — the
+backward collapses to an XLA contraction. The two-pass replay+sweep
+backward (``render_physical_pallas_bwd``) computes the same cotangents
+and is kept as the parity oracle. **Geometry contract**: cotangents
+carry only the NEE emitter chain; continuation terms (hit points and
+normals of struck surfaces — full-path AD quantities with no local
+structure) and non-emitter geometry are zero, as are camera cotangents
+— those fits belong to the core path
+(``models/physical.render_physical`` under ``jax.grad``). Material and
+sky cotangents match core AD (tests/test_pallas_physical.py).
 
 The emissive-sphere table (cumulative emitter count + per-sphere
 premultiplied radiance) is built host-side from the scene and shipped as
@@ -76,6 +82,34 @@ PHYS_BWD_TILE = (32, 128)
 _PHYS_BOUNCE_PLANES = 15
 
 
+def _cone_w_chain(cx, cy, cz, rr, sox, soy, soz, nxp, nyp, nzp, v1p,
+                  cphi, sphi, n_em_f):
+    """The NEE cone-weight chain ``w = cos_surf / pdf * n_em`` as a pure
+    function of the sampled emitter's center/radius — value-identical to
+    ``make_physical_shading``'s NEE block (including every clip/floor
+    guard, so a ``jax.vjp`` through it matches core AD). Shared by the
+    two-pass backward's suffix sweep and the fused kernel's in-bounce
+    geometry Jacobian: one chain, one transpose, no drift."""
+    dcx_ = cx - sox
+    dcy_ = cy - soy
+    dcz_ = cz - soz
+    d2 = dcx_ * dcx_ + dcy_ * dcy_ + dcz_ * dcz_
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    wzx = dcx_ / dist
+    wzy = dcy_ / dist
+    wzz = dcz_ / dist
+    sin2max = jnp.clip(rr * rr / jnp.maximum(d2, 1e-12), 0.0, 1.0 - 1e-7)
+    cosmax = jnp.sqrt(1.0 - sin2max)
+    cth = 1.0 - v1p * (1.0 - cosmax)
+    sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 1e-12))
+    (tax, tay, taz), (bax, bay, baz) = _onb(wzx, wzy, wzz)
+    omx = sth * cphi * tax + sth * sphi * bax + cth * wzx
+    omy = sth * cphi * tay + sth * sphi * bay + cth * wzy
+    omz = sth * cphi * taz + sth * sphi * baz + cth * wzz
+    cos_surf = nxp * omx + nyp * omy + nzp * omz
+    return cos_surf * jnp.maximum(_TWO_PI * (1.0 - cosmax), 1e-8) * n_em_f
+
+
 def _onb(nx, ny, nz):
     """Branchless orthonormal basis (Duff et al. 2017) — plane-wise port
     of models/physical._onb."""
@@ -94,7 +128,7 @@ def _onb(nx, ny, nz):
 def make_physical_shading(
     sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m, tri_a,
     m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph, sky,
-    th, tw, n_sph, n_tri, n_mat, n_em, nee,
+    th, tw, n_sph, n_tri, n_mat, n_em, nee, want_dw=False,
 ):
     """Build the physical-tier ``bounce`` routine over SMEM scene refs.
 
@@ -351,6 +385,22 @@ def make_physical_shading(
             ar = ar + jnp.where(valid, tr * alb_r * _INV_PI * ler * w, 0.0)
             ag = ag + jnp.where(valid, tg * alb_g * _INV_PI * leg * w, 0.0)
             ab = ab + jnp.where(valid, tb * alb_b * _INV_PI * leb * w, 0.0)
+            if want_dw:
+                # ∂w/∂(center, radius) of the sampled emitter — the
+                # g-independent half of the NEE geometry cotangent (the
+                # per-channel factor F closes it; see the fused kernel).
+                # Same chain (by construction: _cone_w_chain) as the
+                # two-pass sweep's jax.vjp, evaluated on the live values.
+                _, w_vjp = jax.vjp(
+                    lambda cx_, cy_, cz_, rr_: _cone_w_chain(
+                        cx_, cy_, cz_, rr_, sox, soy, soz, nx, ny, nz,
+                        v1, cp_, sp_, n_em_f,
+                    ),
+                    cex, cey, cez, rer,
+                )
+                dw = w_vjp(ones)
+            else:
+                dw = None
         else:
             valid = jnp.zeros((th, tw), bool)
             w = zero
@@ -358,12 +408,27 @@ def make_physical_shading(
             emat = jnp.zeros((th, tw), jnp.int32)
             e_idx = jnp.zeros((th, tw), jnp.int32)
             kk_ord = jnp.zeros((th, tw), jnp.int32)
+            dw = (zero, zero, zero, zero) if want_dw else None
 
         if store is not None:
             validf = jnp.where(valid, 1.0, 0.0)
+            extra = {}
+            if want_dw:
+                # per-channel closure factor of the geometry cotangent:
+                # dL/d(comp) = sum_c g_c * F_c * dw_comp, with
+                # F_c = valid * P_c * albedo_c * le_c / pi
+                extra = dict(
+                    dw=dw,
+                    F=(
+                        validf * P_r * alb_r * ler * _INV_PI,
+                        validf * P_g * alb_g * leg * _INV_PI,
+                        validf * P_b_ * alb_b * leb * _INV_PI,
+                    ),
+                )
             store(
                 b,
                 dict(
+                    **extra,
                     P=(P_r, P_g, P_b_),
                     le=(ler, leg, leb),
                     w=w,
@@ -475,11 +540,19 @@ def _phys_kernel(
     par_f,
     par_i,  # (1, 4) int32: seed, sample_offset, row_start, n_em
     out_ref,  # (3, TH, TW) VMEM
-    *,
+    *maybe_cnt,  # with count_rounds: (1, 1) SMEM i32 executed-round counter
     th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee,
+    count_rounds=False,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
+    if count_rounds:
+        (cnt_ref,) = maybe_cnt
+
+        @pl.when((ti == 0) & (tj == 0))
+        def _():
+            cnt_ref[0, 0] = jnp.int32(0)
+
     sky = (par_f[0, 4], par_f[0, 5], par_f[0, 6])
     cox, coy, coz = par_f[0, 7], par_f[0, 8], par_f[0, 9]
     seed = par_i[0, 0].astype(jnp.uint32)
@@ -503,7 +576,7 @@ def _phys_kernel(
     cam_oz = jnp.full((th, tw), coz)
 
     def sample_body(s, acc):
-        acc_r, acc_g, acc_b = acc
+        acc_r, acc_g, acc_b = acc[:3]
         sample = (s + sample_offset).astype(jnp.uint32)
         st = (
             pix * fk._u32(0x9E3779B9)
@@ -538,19 +611,27 @@ def _phys_kernel(
             b, s_ = carry
             return b + 1, bounce(s_)
 
-        _, out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), state0))
+        bend, out = jax.lax.while_loop(w_cond, w_body,
+                                       (jnp.int32(0), state0))
         (_, _, _, _, _, _, tr, tg, tb, ar, ag, ab, _, _) = out
         # bounce budget exhausted -> sky
         ar = ar + tr * sky[0]
         ag = ag + tg * sky[1]
         ab = ab + tb * sky[2]
+        if count_rounds:
+            return (acc_r + ar, acc_g + ag, acc_b + ab, acc[3] + bend)
         return (acc_r + ar, acc_g + ag, acc_b + ab)
 
-    acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
+    init = (zero, zero, zero) + (
+        (jnp.int32(0),) if count_rounds else ()
+    )
+    acc = jax.lax.fori_loop(0, spp, sample_body, init)
     inv = jnp.float32(1.0 / spp)
     out_ref[0] = acc[0] * inv
     out_ref[1] = acc[1] * inv
     out_ref[2] = acc[2] * inv
+    if count_rounds:
+        cnt_ref[0, 0] = cnt_ref[0, 0] + acc[3]
 
 
 def _phys_bwd_kernel(
@@ -866,34 +947,13 @@ def _phys_bwd_kernel(
                 cphi, sphi = _rngmod.sincos_2pi(v2p)  # shared trig spec
                 n_em_f = par_i[0, 3].astype(jnp.float32)
 
-                def w_fn(cx, cy, cz, rr):
-                    # the forward's cone-weight chain, value-identical to
-                    # make_physical_shading's NEE block (incl. every
-                    # clip/floor guard, so the vjp matches core AD)
-                    dcx_ = cx - sox
-                    dcy_ = cy - soy
-                    dcz_ = cz - soz
-                    d2 = dcx_ * dcx_ + dcy_ * dcy_ + dcz_ * dcz_
-                    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
-                    wzx = dcx_ / dist
-                    wzy = dcy_ / dist
-                    wzz = dcz_ / dist
-                    sin2max = jnp.clip(
-                        rr * rr / jnp.maximum(d2, 1e-12), 0.0, 1.0 - 1e-7
-                    )
-                    cosmax = jnp.sqrt(1.0 - sin2max)
-                    cth = 1.0 - v1p * (1.0 - cosmax)
-                    sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 1e-12))
-                    (tax, tay, taz), (bax, bay, baz) = _onb(wzx, wzy, wzz)
-                    omx = sth * cphi * tax + sth * sphi * bax + cth * wzx
-                    omy = sth * cphi * tay + sth * sphi * bay + cth * wzy
-                    omz = sth * cphi * taz + sth * sphi * baz + cth * wzz
-                    cos_surf = nxp * omx + nyp * omy + nzp * omz
-                    return cos_surf * jnp.maximum(
-                        _TWO_PI * (1.0 - cosmax), 1e-8
-                    ) * n_em_f
-
-                _, w_vjp = jax.vjp(w_fn, cex, cey, cez, rer_)
+                _, w_vjp = jax.vjp(
+                    lambda cx, cy, cz, rr: _cone_w_chain(
+                        cx, cy, cz, rr, sox, soy, soz, nxp, nyp, nzp, v1p,
+                        cphi, sphi, n_em_f,
+                    ),
+                    cex, cey, cez, rer_,
+                )
                 # dL/dw = sum_c g_c * P_c * albedo_c / pi * le_c (valid)
                 cot_w = jnp.where(
                     validm,
@@ -989,6 +1049,7 @@ def _phys_fused_kernel(
     em_cum, le_sph, par_f, par_i,
     img_ref,  # (3, TH, TW) VMEM: primal radiance tile (mean over spp)
     j_ref,  # (9*M + 3, TH, TW) VMEM Jacobian planes; last 3 = sky K
+    jgeo_ref,  # (max(12*K, 1), TH, TW) VMEM NEE emitter-geometry planes
     # scratch
     p_store,  # (B+1, 3, TH, TW) prefix throughput at Le time
     mk_store,  # (B+1, 4, TH, TW) masks: hit, miss, tir, addle
@@ -1000,15 +1061,23 @@ def _phys_fused_kernel(
     mat_store,  # (B+1, TH, TW) i32 hit material
     emat_store,  # (B+1, TH, TW) i32 sampled-emitter material
     *,
-    th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee,
+    th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee, n_em_cap,
 ):
     """Fused physical-tier primal + material/sky Jacobian (the physical
     analog of pallas_grad._fused_kernel; see that module's math). Per
     material the Jacobian planes are A[3] (albedo, incl. the NEE term),
     S'[3] (emission base: addle-gated P plus the emitter-keyed EmW), and
-    R[3] (transparency); 3 sky-K planes close the list. Geometry
-    cotangents are NOT produced here — geometry fits use the two-pass
-    backward (g-dependent vjp chain)."""
+    R[3] (transparency); 3 sky-K planes close the list.
+
+    With ``n_em_cap > 0`` the kernel ALSO emits the NEE emitter-geometry
+    Jacobian (VERDICT r3 item 1): the sampled emitter's center/radius
+    cotangent is ``sum_c g_c * F_c * dw_comp`` with ``F_c = valid * P_c *
+    albedo_c * le_c / pi`` and ``dw = ∂w/∂(center, radius)`` — BOTH
+    g-independent and purely prefix quantities, so the planes
+    ``G[k, comp, c] += [kk=k] * F_c * dw_comp`` accumulate directly in
+    the bounce (no replay, no suffix dependence) and the backward stays
+    a contraction. Same contract as the two-pass backward: emitter
+    ordinals >= n_em_cap and non-emitter geometry get zeros."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     sky_r, sky_g, sky_b = par_f[0, 4], par_f[0, 5], par_f[0, 6]
@@ -1027,6 +1096,7 @@ def _phys_fused_kernel(
         sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
         tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph,
         (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat, n_em, nee,
+        want_dw=n_em_cap > 0,
     )
 
     cam_ox = jnp.full((th, tw), cox)
@@ -1040,6 +1110,12 @@ def _phys_fused_kernel(
         return 0
 
     jax.lax.fori_loop(0, n_j, zero_j, 0)
+
+    def zero_geo(k, _):
+        jgeo_ref[k] = zero
+        return 0
+
+    jax.lax.fori_loop(0, max(12 * n_em_cap, 1), zero_geo, 0)
 
     def store(b, info):
         P_r, P_g, P_b_ = info["P"]
@@ -1058,6 +1134,24 @@ def _phys_fused_kernel(
         dr_store[b] = info["dr"]
         mat_store[b] = info["mat"]
         emat_store[b] = info["emat"]
+        if n_em_cap:
+            # direct in-bounce geometry accumulation: F and dw are prefix
+            # quantities (no suffix dependence), so no per-bounce scratch
+            # and no sweep work — 12 products + K masked RMWs per bounce.
+            dwx, dwy, dwz, dwr = info["dw"]
+            F = info["F"]
+            kkp = info["kk"]
+            prods = [F[c] * dcomp for dcomp in (dwx, dwy, dwz, dwr)
+                     for c in range(3)]
+
+            def geo_body(k, _):
+                # F carries the valid mask; kk is garbage only where F==0
+                mk_ = jnp.where(kkp == k, 1.0, 0.0)
+                for j in range(12):
+                    jgeo_ref[k * 12 + j] = jgeo_ref[k * 12 + j] + mk_ * prods[j]
+                return 0
+
+            jax.lax.fori_loop(0, n_em_cap, geo_body, 0)
 
     def sample_body(s, acc_img):
         acc_r, acc_g, acc_b = acc_img
@@ -1220,11 +1314,17 @@ def _phys_fused_kernel(
     img_ref[2] = acc[2] * inv
 
 
+# Per-bounce fused-kernel scratch planes, counted from the scratch_shapes
+# list below: p 3 + mk 4 + alb 3 + e 3 + nee 3 + emw 3 + dr 1 + mat 1 +
+# emat 1 (the two i32 planes cost the same VMEM as f32).
+_PHYS_FUSED_BOUNCE_PLANES = 22
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret",
-        "rows", "jitter", "nee",
+        "rows", "jitter", "nee", "n_em_cap",
     ),
 )
 def render_physical_pallas_fused(
@@ -1242,22 +1342,34 @@ def render_physical_pallas_fused(
     rows: int | None = None,
     jitter: bool = True,
     nee: bool = True,
+    n_em_cap: int = 0,
 ):
     """Physical-tier primal radiance (rows, W, 3) PLUS its per-pixel
     material/sky Jacobian (9*M+3, rows, W) in one kernel pass — the
     physical analog of pallas_grad.render_pallas_fused. Contract with
-    :func:`contract_physical_jacobian`. No geometry cotangents (those
-    need the g-dependent two-pass backward)."""
+    :func:`contract_physical_jacobian`.
+
+    ``n_em_cap > 0`` additionally emits the NEE emitter-geometry Jacobian
+    (12*n_em_cap, rows, W) for the first ``n_em_cap`` emitter ordinals
+    (layout ``[k, comp(cx,cy,cz,r), channel]``) and the return becomes a
+    3-tuple ``(img, jac, jac_geo)``.
+
+    Residual footprint note: the Jacobian outputs live in HBM at
+    ``(9*n_mat + 3 + 12*n_em_cap) * rows * width * 4`` bytes — ~0.25 GB
+    for 15 materials + 1 tracked emitter at 1024^2. Size fit workloads
+    accordingly (the custom_vjp holds it from forward to backward)."""
     rows = height if rows is None else rows
     th, tw = _fit_tile(
         rows, width, tile, scene.num_materials, max_bounces,
-        bounce_planes=21, mat_planes=9, fixed_planes=6,
+        bounce_planes=_PHYS_FUSED_BOUNCE_PLANES, mat_planes=9,
+        fixed_planes=6 + 12 * n_em_cap,
     )
     interpret = interpret or jax.default_backend() != "tpu"
 
     n_mat = scene.num_materials
     bplus = max_bounces + 1
     n_j = 9 * n_mat + 3
+    n_geo = max(12 * n_em_cap, 1)
     kern = partial(
         _phys_fused_kernel,
         th=th, tw=tw,
@@ -1268,12 +1380,13 @@ def render_physical_pallas_fused(
         max_bounces=max_bounces,
         jitter=jitter,
         nee=nee,
+        n_em_cap=n_em_cap,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     operands = _phys_operands(
         scene, camera, height, width, seed, sample_offset, row_start
     )
-    img, jac = pl.pallas_call(
+    img, jac, jgeo = pl.pallas_call(
         kern,
         grid=(rows // th, width // tw),
         in_specs=[smem() for _ in operands],
@@ -1282,10 +1395,13 @@ def render_physical_pallas_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_j, th, tw), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_geo, th, tw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((3, rows, width), jnp.float32),
             jax.ShapeDtypeStruct((n_j, rows, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_geo, rows, width), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # p_store
@@ -1300,12 +1416,43 @@ def render_physical_pallas_fused(
         ],
         interpret=interpret,
     )(*operands)
-    return jnp.transpose(img, (1, 2, 0)), jac
+    img = jnp.transpose(img, (1, 2, 0))
+    if n_em_cap:
+        return img, jac, jgeo
+    return img, jac
 
 
-def contract_physical_jacobian(scene: Scene, jac, g, spp: int):
-    """Scene cotangent pytree (materials + sky; geometry zeros) from the
-    fused physical kernel's Jacobian and the image cotangent g."""
+def _scatter_emitter_geometry(scene: Scene, geo, n_em_cap: int):
+    """Sphere cotangent pytree from per-emitter-ordinal rows ``geo``
+    ((>=n_em_cap, 4): d_center xyz + d_radius per ordinal): scatter rows
+    back onto their sphere indices, zeroing rows beyond the live emitter
+    count. Shared by the two-pass backward and the fused contraction."""
+    import dataclasses
+
+    d_spheres = jax.tree_util.tree_map(jnp.zeros_like, scene.spheres)
+    if not n_em_cap:
+        return d_spheres
+    em_cum, _, n_em = _emitter_operands(scene)
+    ks = jnp.arange(n_em_cap, dtype=jnp.int32)
+    sph_idx = jnp.clip(
+        jnp.searchsorted(em_cum[:, 0], ks + 1, side="left"),
+        0, scene.num_spheres - 1,
+    )
+    live = (ks < n_em)[:, None]
+    d_center = jnp.zeros_like(scene.spheres.center).at[sph_idx].add(
+        jnp.where(live, geo[:n_em_cap, 0:3], 0.0)
+    )
+    d_radius = jnp.zeros_like(scene.spheres.radius).at[sph_idx].add(
+        jnp.where(live[:, 0], geo[:n_em_cap, 3], 0.0)
+    )
+    return dataclasses.replace(d_spheres, center=d_center, radius=d_radius)
+
+
+def contract_physical_jacobian(scene: Scene, jac, g, spp: int,
+                               jac_geo=None):
+    """Scene cotangent pytree (materials + sky, plus NEE emitter geometry
+    when ``jac_geo`` is given) from the fused physical kernel's Jacobian
+    planes and the image cotangent g."""
     import dataclasses
 
     n_mat = scene.num_materials
@@ -1330,13 +1477,53 @@ def contract_physical_jacobian(scene: Scene, jac, g, spp: int):
         metallicity=zeros(mats.metallicity),
         refractive_index=zeros(mats.refractive_index),
     )
+    if jac_geo is not None and jac_geo.shape[0] >= 12:
+        n_em_cap = jac_geo.shape[0] // 12
+        jg = jac_geo[: 12 * n_em_cap].reshape(
+            n_em_cap, 4, 3, jac_geo.shape[1], jac_geo.shape[2]
+        )
+        geo = jnp.einsum("kqchw,chw->kq", jg, g_cp) / spp
+        d_spheres = _scatter_emitter_geometry(scene, geo, n_em_cap)
+    else:
+        d_spheres = jax.tree_util.tree_map(zeros, scene.spheres)
     return dataclasses.replace(
         scene,
         materials=d_mats,
-        spheres=jax.tree_util.tree_map(zeros, scene.spheres),
+        spheres=d_spheres,
         triangles=jax.tree_util.tree_map(zeros, scene.triangles),
         sky_color=d_sky,
     )
+
+
+def _check_emitter_cap(scene: Scene, n_em_cap: int, raise_: bool = False):
+    """Warn (or raise) when the scene has more live emitters than the
+    geometry cap tracks — emitter ordinals >= n_em_cap get exactly-zero
+    center/radius cotangents by contract, which would otherwise silently
+    freeze those lights in a fit (VERDICT r3 item 4). Checkable only when
+    the scene is concrete (under jit tracing the emitter count is a
+    tracer; callers holding concrete scenes — fits, benches — see it)."""
+    import warnings
+
+    es = scene.materials.emission_strength
+    if isinstance(es, jax.core.Tracer) or isinstance(
+        scene.spheres.material, jax.core.Tracer
+    ):
+        return None
+    em = np.asarray(scene.spheres.active) & (
+        np.asarray(es)[np.asarray(scene.spheres.material)] > 0.0
+    )
+    n_em = int(em.sum())
+    if n_em > n_em_cap:
+        msg = (
+            f"scene has {n_em} emissive spheres but the NEE geometry "
+            f"cotangent cap is n_em_cap={n_em_cap}: emitter ordinals >= "
+            f"{n_em_cap} receive exactly-zero center/radius gradients. "
+            "Pass a larger n_em_cap to track them."
+        )
+        if raise_:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=3)
+    return n_em
 
 
 def _emitter_operands(scene: Scene):
@@ -1376,7 +1563,7 @@ def _phys_operands(scene, camera, height, width, seed, sample_offset,
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret", "rows",
-        "jitter", "nee",
+        "jitter", "nee", "count_rounds",
     ),
 )
 def render_physical_pallas(
@@ -1394,13 +1581,15 @@ def render_physical_pallas(
     rows: int | None = None,
     jitter: bool = True,
     nee: bool = True,
+    count_rounds: bool = False,
 ):
     """Physical-tier radiance image (rows, W, 3) f32 via the Pallas
     megakernel — the fast path for ``models/physical.render_physical``
     (identical estimator, identical RNG streams; interpreter-mode parity
     is pinned by tests/test_pallas_physical.py). Same sharding contract as
     ``render_pallas``: ``row_start``/``rows`` select a row block with
-    global-index RNG."""
+    global-index RNG. ``count_rounds=True`` returns
+    ``(img, executed_rounds)`` like ``render_pallas``."""
     rows = height if rows is None else rows
     th, tw = tile
     th = min(th, rows)
@@ -1420,21 +1609,35 @@ def render_physical_pallas(
         max_bounces=max_bounces,
         jitter=jitter,
         nee=nee,
+        count_rounds=count_rounds,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     operands = _phys_operands(
         scene, camera, height, width, seed, sample_offset, row_start
     )
+    out_specs = [
+        pl.BlockSpec(
+            (3, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((3, rows, width), jnp.float32)]
+    if count_rounds:
+        out_specs.append(
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
     out = pl.pallas_call(
         kern,
         grid=(rows // th, width // tw),
         in_specs=[smem() for _ in operands],
-        out_specs=pl.BlockSpec(
-            (3, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, rows, width), jnp.float32),
+        out_specs=out_specs if count_rounds else out_specs[0],
+        out_shape=out_shape if count_rounds else out_shape[0],
         interpret=interpret,
     )(*operands)
+    if count_rounds:
+        img, cnt = out
+        return jnp.transpose(img, (1, 2, 0)), cnt[0, 0]
     return jnp.transpose(out, (1, 2, 0))
 
 
@@ -1442,7 +1645,7 @@ def render_physical_pallas(
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret", "rows",
-        "jitter", "nee",
+        "jitter", "nee", "n_em_cap",
     ),
 )
 def render_physical_pallas_bwd(
@@ -1461,9 +1664,15 @@ def render_physical_pallas_bwd(
     rows: int | None = None,
     jitter: bool = True,
     nee: bool = True,
+    n_em_cap: int | None = None,
 ):
     """Material/sky + NEE emitter-geometry VJP of
-    :func:`render_physical_pallas`.
+    :func:`render_physical_pallas` (two-pass replay + suffix sweep).
+
+    Since round 4 this is the parity ORACLE for the fused scheme — the
+    production geometry VJP is the fused kernel's in-bounce Jacobian
+    (``render_physical_pallas_fused(n_em_cap=...)`` + contraction),
+    which :func:`render_physical_pallas_vjp` selects.
 
     Returns a Scene-shaped cotangent pytree. Albedo, emission color/
     strength, transparency and sky match core AD; roughness/metallicity/
@@ -1477,10 +1686,15 @@ def render_physical_pallas_bwd(
     AD quantities with no sweep structure. Adequate and validated for
     emissive-sphere recovery (tests/test_pallas_physical.py); for
     non-emitter geometry use the core path. Geometry is tracked for the
-    first ``8`` emitters (ordinals beyond that get zeros).
+    first ``n_em_cap`` emitter ordinals (default ``min(num_spheres, 8)``;
+    a concrete scene with more live emitters warns — ordinals beyond the
+    cap get zeros).
     """
     rows = height if rows is None else rows
-    n_em_cap = min(scene.num_spheres, 8) if nee else 0
+    if n_em_cap is None:
+        n_em_cap = min(scene.num_spheres, 8) if nee else 0
+    if not nee:
+        n_em_cap = 0
     th, tw = _fit_tile(
         rows, width, tile, scene.num_materials, max_bounces,
         bounce_planes=_PHYS_BOUNCE_PLANES + (10 if n_em_cap else 0),
@@ -1557,25 +1771,7 @@ def render_physical_pallas_bwd(
         metallicity=zeros(mats.metallicity),
         refractive_index=zeros(mats.refractive_index),
     )
-    d_spheres = jax.tree_util.tree_map(zeros, scene.spheres)
-    if n_em_cap:
-        # scatter emitter-ordinal rows back onto their sphere indices
-        em_cum, _, n_em = _emitter_operands(scene)
-        ks = jnp.arange(n_em_cap, dtype=jnp.int32)
-        sph_idx = jnp.clip(
-            jnp.searchsorted(em_cum[:, 0], ks + 1, side="left"),
-            0, scene.num_spheres - 1,
-        )
-        live = (ks < n_em)[:, None]
-        d_center = jnp.zeros_like(scene.spheres.center).at[sph_idx].add(
-            jnp.where(live, geo[:n_em_cap, 0:3], 0.0)
-        )
-        d_radius = jnp.zeros_like(scene.spheres.radius).at[sph_idx].add(
-            jnp.where(live[:, 0], geo[:n_em_cap, 3], 0.0)
-        )
-        d_spheres = dataclasses.replace(
-            d_spheres, center=d_center, radius=d_radius
-        )
+    d_spheres = _scatter_emitter_geometry(scene, geo, n_em_cap)
     return dataclasses.replace(
         scene,
         materials=d_mats,
@@ -1591,7 +1787,7 @@ def render_physical_pallas_bwd(
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def _render_physical_pallas_vjp(
     scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-    geom, seed, sample_offset, row_start,
+    geo_cap, seed, sample_offset, row_start,
 ):
     return render_physical_pallas(
         scene, camera, height, width, spp, max_bounces, seed,
@@ -1602,39 +1798,41 @@ def _render_physical_pallas_vjp(
 
 def _vjp_fwd(
     scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-    geom, seed, sample_offset, row_start,
+    geo_cap, seed, sample_offset, row_start,
 ):
-    if geom:
-        # two-pass scheme: plain forward now, replay+sweep backward with
-        # the g-dependent NEE geometry chain later
-        out = render_physical_pallas(
+    # One fused primal+Jacobian kernel either way (no ray traced twice);
+    # geo_cap > 0 adds the in-bounce NEE emitter-geometry planes. The
+    # two-pass replay/sweep scheme (render_physical_pallas_bwd) is
+    # retired from this path and kept as the parity oracle.
+    jgeo = None
+    if geo_cap:
+        out, jac, jgeo = render_physical_pallas_fused(
+            scene, camera, height, width, spp, max_bounces, seed,
+            sample_offset=sample_offset, row_start=row_start, rows=rows,
+            jitter=jitter, nee=nee, n_em_cap=geo_cap,
+        )
+    else:
+        out, jac = render_physical_pallas_fused(
             scene, camera, height, width, spp, max_bounces, seed,
             sample_offset=sample_offset, row_start=row_start, rows=rows,
             jitter=jitter, nee=nee,
         )
-        return out, (scene, camera, seed, sample_offset, row_start, None)
-    # materials-only: fused primal+Jacobian kernel, backward is a
-    # contraction — no ray traced twice (pallas_grad.py's scheme)
-    out, jac = render_physical_pallas_fused(
-        scene, camera, height, width, spp, max_bounces, seed,
-        sample_offset=sample_offset, row_start=row_start, rows=rows,
-        jitter=jitter, nee=nee,
-    )
-    return out, (scene, camera, None, None, None, jac)
+    return out, (scene, camera, jac, jgeo)
 
 
-def _vjp_bwd(height, width, spp, max_bounces, rows, jitter, nee, geom,
+def _vjp_bwd(height, width, spp, max_bounces, rows, jitter, nee, geo_cap,
              res, g):
-    scene, camera, seed, sample_offset, row_start, jac = res
-    if geom:
-        d_scene = render_physical_pallas_bwd(
-            scene, camera, g, height, width, spp, max_bounces, seed,
-            sample_offset=sample_offset, row_start=row_start, rows=rows,
-            jitter=jitter, nee=nee,
-        )
-    else:
-        d_scene = contract_physical_jacobian(scene, jac, g, spp)
+    scene, camera, jac, jgeo = res
+    d_scene = contract_physical_jacobian(scene, jac, g, spp, jac_geo=jgeo)
     d_scene = fk._float0_ints(d_scene, scene)
+    # Camera cotangents are ZERO BY CONTRACT — an approximation in this
+    # tier: the reference tier's radiance really is piecewise-constant in
+    # camera pose (pallas_kernels.py), but the physical tier's NEE cosine
+    # and solid-angle factors vary continuously with the primary ray, so
+    # core AD would return nonzero d_camera here. Camera-pose fits must
+    # use models/physical.render_physical under jax.grad (documented in
+    # render_physical_pallas_vjp; pinned by
+    # tests/test_pallas_physical.py::test_phys_vjp_camera_cotangent_contract).
     d_camera = jax.tree_util.tree_map(jnp.zeros_like, camera)
     return d_scene, d_camera, None, None, None
 
@@ -1646,21 +1844,37 @@ def render_physical_pallas_vjp(
     scene, camera, height, width, spp, max_bounces, seed,
     sample_offset=0, row_start=0, rows: int | None = None,
     jitter: bool = True, nee: bool = True, geom: bool = True,
+    n_em_cap: int | None = None,
 ):
-    """Differentiable physical-tier fast render.
+    """Differentiable physical-tier fast render (fused primal+Jacobian).
 
     Albedo, emission, transparency and sky cotangents match core AD in
-    both modes. ``geom=True`` (default) runs the two-pass scheme
-    (forward + replay/sweep backward) whose sweep also carries the NEE
-    emitter-geometry chain — use for geometry fits. ``geom=False`` runs
-    the FUSED primal+Jacobian kernel: ~2x faster fwd+bwd, geometry
-    cotangents zero by contract — use for material fits and sharded
-    training (grad/diff, parallel/render pass it automatically).
+    both modes. ``geom=True`` (default) also emits NEE emitter-geometry
+    cotangents (sampled emitter center/radius through the cone weight)
+    for the first ``n_em_cap`` emitter ordinals (default
+    ``min(num_spheres, 8)``; pass the scene's live emitter count for
+    exact coverage — more live emitters than the cap warns when the
+    scene is concrete). ``geom=False`` skips the geometry planes
+    (slightly cheaper; use for material-only fits and sharded material
+    training — grad/diff and parallel/render pass it automatically).
+
+    Contract vs core AD (tests/test_pallas_physical.py): geometry
+    cotangents carry ONLY the NEE emitter chain — continuation terms
+    (hit points/normals of struck surfaces) and non-emitter geometry are
+    zero; **camera cotangents are zero** even though the physical tier's
+    NEE terms do vary continuously with the primary ray — a camera-pose
+    fit through this wrapper would silently not move, so use core AD
+    (``models/physical.render_physical``) for camera fits.
     """
     rows = height if rows is None else rows
+    if n_em_cap is None:
+        n_em_cap = min(scene.num_spheres, 8)
+    geo_cap = int(n_em_cap) if (geom and nee) else 0
+    if geo_cap:
+        _check_emitter_cap(scene, geo_cap)
     return _render_physical_pallas_vjp(
         scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-        geom,
+        geo_cap,
         jnp.asarray(seed, jnp.uint32),
         jnp.asarray(sample_offset, jnp.int32),
         jnp.asarray(row_start, jnp.int32),

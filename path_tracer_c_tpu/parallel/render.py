@@ -61,6 +61,8 @@ def render_sharded(
     jitter: bool = False,
     remat: bool = False,
     engine: str = "core",
+    geom: bool = False,
+    n_em_cap: int | None = None,
 ):
     """Full-image radiance rendered across the mesh: (H, W, 3), sharded
     over rows on the ``tile`` axis.
@@ -84,10 +86,12 @@ def render_sharded(
     elif engine == "physical":
         from ..models.physical import render_physical
     elif engine == "physical_pallas":
-        # Fast physical tier per shard. Differentiable for MATERIALS and
-        # sky only (geometry cotangents are zero by contract —
-        # ops/pallas_physical.render_physical_pallas_vjp); geometry fits
-        # must use engine="physical".
+        # Fast physical tier per shard. Differentiable for materials and
+        # sky; ``geom=True`` adds the fused NEE emitter-geometry
+        # cotangents (first n_em_cap emitter ordinals; non-emitter
+        # geometry stays zero by contract —
+        # ops/pallas_physical.render_physical_pallas_vjp). Full-path
+        # geometry AD needs engine="physical".
         from ..ops.pallas_physical import render_physical_pallas_vjp
     elif engine != "core":
         raise ValueError(f"unknown engine {engine!r}")
@@ -155,9 +159,11 @@ def render_sharded(
                 row_start=ti * rows_local,
                 rows=rows_local,
                 jitter=jitter,
-                # sharded training targets materials (make_train_step);
-                # the fused kernel pair is ~2x the two-pass scheme
-                geom=False,
+                # default geom=False: material training skips the
+                # geometry Jacobian planes; geometry fits opt in (the
+                # fused scheme makes geom=True nearly the same cost)
+                geom=geom,
+                n_em_cap=n_em_cap,
             )
         else:
             img = render_tile(
@@ -190,6 +196,8 @@ def make_train_step(
     optimizer,
     param_fns,
     engine: str = "core",
+    geom: bool = False,
+    n_em_cap: int | None = None,
 ):
     """Build a jitted sharded inverse-rendering train step.
 
@@ -205,6 +213,9 @@ def make_train_step(
     per shard (megakernel forward + suffix-sweep backward,
     ops/pallas_grad.py) — the fast multi-chip training path; XLA overlaps
     each shard's gradient psum with the remaining backward work.
+    ``geom=True`` (physical_pallas engine) makes the step emit NEE
+    emitter-geometry cotangents for sharded geometry fits (see
+    render_sharded).
     """
     apply_params = param_fns
 
@@ -220,6 +231,8 @@ def make_train_step(
             mesh,
             remat=engine in ("core", "physical"),  # XLA-AD engines only
             engine=engine,
+            geom=geom,
+            n_em_cap=n_em_cap,
         )
         return jnp.mean((img - target) ** 2)
 

@@ -169,7 +169,7 @@ def count_ops(fn, *args, while_trips: float = 1.0, **kwargs):
 
 def kernel_op_counts(scene, camera, spp: int, max_bounces: int,
                      tile=None, jitter: bool = False,
-                     kind: str = "forward"):
+                     kind: str = "forward", n_em_cap: int = 0):
     """Per-tile op counts of one production kernel, from its own trace.
 
     ``kind`` selects the kernel: ``"forward"`` (reference-tier
@@ -233,6 +233,19 @@ def kernel_op_counts(scene, camera, spp: int, max_bounces: int,
                 scene, camera, th, tw, spp, max_bounces, s, tile=(th, tw),
                 interpret=True, jitter=jitter,
             )
+    elif kind == "physical_fused_geom":
+        # the fused kernel WITH the in-bounce NEE emitter-geometry
+        # Jacobian — the production geometry fwd+bwd path; pass the same
+        # n_em_cap the timed run used
+        from ..ops.pallas_physical import render_physical_pallas_fused
+
+        trips = max_bounces + 1
+
+        def one_tile(s):
+            return render_physical_pallas_fused(
+                scene, camera, th, tw, spp, max_bounces, s, tile=(th, tw),
+                interpret=True, jitter=jitter, n_em_cap=max(n_em_cap, 1),
+            )
     else:
         raise ValueError(f"unknown kernel kind {kind!r}")
 
@@ -283,7 +296,8 @@ def _calib_kernel(reps_ref, x_ref, o_ref, *, kind: str):
 def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
                      shape=(64, 128), iters: int = 5,
                      alu_rate: float | None = None,
-                     kind: str | None = None):
+                     kind: str | None = None,
+                     with_spread: bool = False):
     """Achieved per-chip VPU op rate (ops/s), dispatch overhead removed.
 
     ``kind`` selects the op class: "alu" (4 dependent FMA ops/round),
@@ -296,7 +310,14 @@ def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
     For non-alu kinds, pass the measured ``alu_rate`` so the round's ALU
     ops are subtracted at that rate and the returned rate reflects the
     transcendental alone (ADVICE r2); without it they are conservatively
-    left in (rate slightly understated, never overstated)."""
+    left in (rate slightly understated, never overstated).
+
+    ``with_spread=True`` returns ``(rate, samples)`` where ``samples``
+    are the per-iteration pairwise difference rates (same units) —
+    their spread quantifies the calibration's run-to-run uncertainty so
+    sol_fraction can be stated with error bars instead of a bare point
+    (VERDICT r3 weak 2). The primary rate is still the min-based
+    estimate (timing noise is one-sided)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -336,24 +357,31 @@ def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
             return time.perf_counter() - t0
 
         run()  # warm (compiles once for all reps values)
-        times = [run() for _ in range(iters)]
-        # min, not median: timing noise is one-sided (preemption, tunnel
-        # hiccups only ever ADD time), and a noisy rate understates the
-        # ceiling -> sol_fraction wobbles above 1.0 (seen run-to-run)
-        return min(times)
+        return [run() for _ in range(iters)]
 
-    t1 = timed(reps)
-    t2 = timed(2 * reps)
-    dt = max(t2 - t1, 1e-9)
+    t1s = timed(reps)
+    t2s = timed(2 * reps)
     lanes = shape[0] * shape[1]
     measured_per_round, alu_per_round = {
         "alu": (4, 0), "sqrt": (1, 1), "trig": (1, 0), "explog": (1, 2),
     }[kind]
-    if alu_per_round and alu_rate:
-        # remove the round's ALU ops at the measured ALU rate
-        alu_ops = lanes * reps * alu_per_round * _CALIB_UNROLL
-        dt = max(dt - alu_ops / alu_rate, 1e-9)
-    return lanes * reps * measured_per_round * _CALIB_UNROLL / dt
+
+    def to_rate(dt):
+        dt = max(dt, 1e-9)
+        if alu_per_round and alu_rate:
+            # remove the round's ALU ops at the measured ALU rate
+            alu_ops = lanes * reps * alu_per_round * _CALIB_UNROLL
+            dt = max(dt - alu_ops / alu_rate, 1e-9)
+        return lanes * reps * measured_per_round * _CALIB_UNROLL / dt
+
+    # min, not median: timing noise is one-sided (preemption, tunnel
+    # hiccups only ever ADD time), and a noisy rate understates the
+    # ceiling -> sol_fraction wobbles above 1.0 (seen run-to-run)
+    rate = to_rate(min(t2s) - min(t1s))
+    if with_spread:
+        samples = [to_rate(b - a) for a, b in zip(t1s, t2s)]
+        return rate, samples
+    return rate
 
 
 def sol_report(scene, camera, height: int, width: int, spp: int,
@@ -361,7 +389,7 @@ def sol_report(scene, camera, height: int, width: int, spp: int,
                tile=None, jitter: bool = False,
                alu_rate: float | None = None,
                transc_rate: float | None = None,
-               kind: str = "forward"):
+               kind: str = "forward", n_em_cap: int = 0):
     """Measured speed-of-light report for one production kernel.
 
     ``measured_seconds`` is the timed wall clock of the render; ``kind``
@@ -375,7 +403,8 @@ def sol_report(scene, camera, height: int, width: int, spp: int,
 
     th, tw = tile or DEFAULT_TILE
     counts = kernel_op_counts(scene, camera, spp, max_bounces,
-                              tile=(th, tw), jitter=jitter, kind=kind)
+                              tile=(th, tw), jitter=jitter, kind=kind,
+                              n_em_cap=n_em_cap)
     n_tiles = (height // th) * (width // tw)
     alu = counts["alu"] * n_tiles
     transc = counts["transcendental"] * n_tiles

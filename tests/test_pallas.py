@@ -70,6 +70,51 @@ def test_pallas_jitter_differs_from_centered():
     assert np.abs(np.asarray(fast) - np.asarray(centered)).max() > 1e-4
 
 
+def test_pallas_count_rounds():
+    """count_rounds: identical image, executed-round counter bounded by
+    the nominal budget, exact on an all-sky scene (every tile exits after
+    round 0) — the honest denominator for rays_per_sec_executed
+    (VERDICT r3 item 3)."""
+    scene = demo.demo_scene()
+    h, w, spp, bounces = 16, 256, 2, 3
+    plain = np.asarray(
+        render_pallas(scene, CAM, h, w, spp, bounces, jnp.uint32(5),
+                      tile=(8, 128), interpret=True)
+    )
+    img, cnt = render_pallas(scene, CAM, h, w, spp, bounces, jnp.uint32(5),
+                             tile=(8, 128), interpret=True,
+                             count_rounds=True)
+    np.testing.assert_array_equal(plain, np.asarray(img))
+    n_tiles = (h // 8) * (w // 128)
+    nominal = n_tiles * spp * (bounces + 1)
+    assert 0 < int(cnt) <= nominal, (int(cnt), nominal)
+
+    # all-sky scene: every lane misses at round 0 -> exactly 1 round per
+    # (tile, sample)
+    b = pt.SceneBuilder(sky_color=(0.2, 0.3, 0.4))
+    b.add_material(albedo=(1.0, 0.0, 0.0))
+    b.add_sphere(center=(0.0, 0.0, -100.0), radius=1.0, material=0)  # behind
+    sky_scene = b.build()
+    _, cnt_sky = render_pallas(sky_scene, CAM, h, w, spp, bounces,
+                               jnp.uint32(5), tile=(8, 128), interpret=True,
+                               count_rounds=True)
+    assert int(cnt_sky) == n_tiles * spp, (int(cnt_sky), n_tiles * spp)
+
+    # physical kernel: same contract
+    from path_tracer_c_tpu.ops.pallas_physical import render_physical_pallas
+
+    plain_p = np.asarray(
+        render_physical_pallas(scene, CAM, h, w, spp, bounces,
+                               jnp.uint32(5), tile=(8, 128), interpret=True)
+    )
+    img_p, cnt_p = render_physical_pallas(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(5), tile=(8, 128),
+        interpret=True, count_rounds=True,
+    )
+    np.testing.assert_array_equal(plain_p, np.asarray(img_p))
+    assert 0 < int(cnt_p) <= nominal
+
+
 def test_pallas_divisibility_error():
     with pytest.raises(ValueError):
         render_pallas(

@@ -189,6 +189,54 @@ def test_phys_bwd_matches_core_no_jitter():
                  gseed=2, jitter=False, rtol=2e-2, scale_frac=0.03)
 
 
+def _cornell_triangles_scene():
+    """Cornell box with TRIANGLE walls instead of r=1000 spheres: same
+    material mix (diffuse walls, emissive lamp, mirror, glass) and the
+    same code paths (NEE, Le-skip, refraction, TIR), but no catastrophic
+    |oc|^2 - r^2 cancellation — so backward parity gates can be tight
+    (VERDICT r3 item 7; pattern from tests/test_parallel.py)."""
+    b = pt.SceneBuilder(sky_color=(0.0, 0.0, 0.0))
+    white = b.add_material(albedo=(0.73, 0.73, 0.73), roughness=1.0)
+    red = b.add_material(albedo=(0.65, 0.05, 0.05), roughness=1.0)
+    green = b.add_material(albedo=(0.12, 0.45, 0.15), roughness=1.0)
+    light = b.add_material(
+        albedo=(1.0, 1.0, 1.0), emission_color=(1.0, 0.9, 0.7),
+        emission_strength=15.0,
+    )
+    mirror = b.add_material(albedo=(0.95, 0.95, 0.95), roughness=0.05)
+    glass = b.add_material(
+        albedo=(1.0, 1.0, 1.0), transparency=1.0, refractive_index=1.5
+    )
+
+    def quad(p00, p10, p11, p01, m):
+        b.add_triangle(v0=p00, v1=p10, v2=p11, material=m)
+        b.add_triangle(v0=p00, v1=p11, v2=p01, material=m)
+
+    z0, z1, x_, y_ = 2.0, 10.0, 3.0, 2.0
+    quad((-x_, -y_, z0), (x_, -y_, z0), (x_, -y_, z1), (-x_, -y_, z1), white)
+    quad((-x_, y_, z0), (x_, y_, z0), (x_, y_, z1), (-x_, y_, z1), white)
+    quad((-x_, -y_, z0), (-x_, y_, z0), (-x_, y_, z1), (-x_, -y_, z1), red)
+    quad((x_, -y_, z0), (x_, y_, z0), (x_, y_, z1), (x_, -y_, z1), green)
+    quad((-x_, -y_, z1), (x_, -y_, z1), (x_, y_, z1), (-x_, y_, z1), white)
+    b.add_sphere(center=(0.0, 1.55, 6.0), radius=0.8, material=light)
+    b.add_sphere(center=(-1.0, -1.2, 6.5), radius=0.8, material=mirror)
+    b.add_sphere(center=(1.1, -1.3, 5.0), radius=0.7, material=glass)
+    return b.build()
+
+
+def test_phys_bwd_matches_core_cornell_flipfree():
+    """Tight-gate twin of test_phys_bwd_matches_core_cornell: identical
+    material mix and code paths, triangle walls -> no f32-cancellation
+    flips -> default (5e-3) gates with no scale_frac slack."""
+    _compare_bwd(_cornell_triangles_scene(), 8, 128, 8, 3, seed=3, gseed=0)
+
+
+def test_phys_bwd_matches_core_cornell_flipfree_no_jitter():
+    """Tight-gate twin of test_phys_bwd_matches_core_no_jitter."""
+    _compare_bwd(_cornell_triangles_scene(), 8, 128, 8, 2, seed=7, gseed=2,
+                 jitter=False)
+
+
 def test_phys_bwd_matches_core_emitter_nee_counted():
     """A big, frequently-BSDF-hit emitter exercises the Le-skip
     (nee_counted) terms; no giant spheres, so the match is rounding-tight."""
@@ -389,6 +437,190 @@ def test_fit_geometry_fast_path_recovers_light():
     # measured: loss 1.28 -> 2.9e-6, center err 0.30 -> 0.077
     assert losses[-1] < losses[0] * 0.01, (losses[0], losses[-1])
     assert err1 < err0 * 0.5, (err0, err1)
+
+
+def test_phys_fused_geometry_matches_two_pass_bwd():
+    """The fused kernel's in-bounce NEE emitter-geometry Jacobian
+    (contracted with g) == the two-pass replay/sweep backward's geometry
+    cotangents — same _cone_w_chain, two evaluation schemes (VERDICT r3
+    item 1)."""
+    import jax
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        contract_physical_jacobian, render_physical_pallas_bwd,
+        render_physical_pallas_fused,
+    )
+
+    for scene in (_nee_light_scene(0.0), _nee_light_scene(0.8),
+                  demo.cornell_spheres_scene()):
+        n_em_cap = min(scene.num_spheres, 8)
+        h, w, spp, bounces, seed = 16, 128, 2, 3, 41
+        g = jnp.asarray(
+            np.random.default_rng(11).standard_normal((h, w, 3)), jnp.float32
+        )
+        _, jac, jgeo = render_physical_pallas_fused(
+            scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+            tile=(8, 128), interpret=True, jitter=False, n_em_cap=n_em_cap,
+        )
+        d_fused = contract_physical_jacobian(scene, jac, g, spp,
+                                             jac_geo=jgeo)
+        d_two = render_physical_pallas_bwd(
+            scene, CAM, g, h, w, spp, bounces, jnp.uint32(seed),
+            tile=(8, 128), jitter=False, n_em_cap=n_em_cap,
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_fused.spheres.center),
+            np.asarray(d_two.spheres.center), rtol=2e-4, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_fused.spheres.radius),
+            np.asarray(d_two.spheres.radius), rtol=2e-4, atol=1e-7,
+        )
+        # materials stay matched too (same planes as before)
+        np.testing.assert_allclose(
+            np.asarray(d_fused.materials.albedo),
+            np.asarray(d_two.materials.albedo), rtol=2e-4, atol=1e-6,
+        )
+
+
+def test_phys_fused_geometry_matches_core_on_nee_chain():
+    """End-to-end: jax.grad through the (fused) vjp wrapper reproduces
+    core AD's light center/radius gradient on the black-albedo-light
+    scene, where the NEE chain IS the whole core geometry gradient."""
+    import jax
+
+    scene = _nee_light_scene(light_albedo=0.0)
+    h, w, spp, bounces = 16, 128, 4, 3
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas_vjp,
+    )
+
+    target = render_physical(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(77), jitter=False
+    )
+
+    light = 1  # the lamp is the second add_sphere in _nee_light_scene
+
+    def loss(fn, center, radius):
+        import dataclasses
+
+        sc = dataclasses.replace(
+            scene,
+            spheres=dataclasses.replace(
+                scene.spheres,
+                center=scene.spheres.center.at[light].set(center),
+                radius=scene.spheres.radius.at[light].set(radius),
+            ),
+        )
+        img = fn(sc, CAM, h, w, spp, bounces, jnp.uint32(5))
+        return jnp.mean((img - target) ** 2)
+
+    fast = lambda *a: render_physical_pallas_vjp(*a, jitter=False)
+    core = lambda *a: render_physical(*a, jitter=False)
+    c0 = scene.spheres.center[light]
+    r0 = scene.spheres.radius[light]
+    gc_f, gr_f = jax.grad(lambda c, r: loss(fast, c, r), argnums=(0, 1))(
+        c0, r0)
+    gc_c, gr_c = jax.grad(lambda c, r: loss(core, c, r), argnums=(0, 1))(
+        c0, r0)
+    assert np.abs(np.asarray(gc_c)).max() > 1e-8
+    np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_c),
+                               rtol=5e-3, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_c),
+                               rtol=5e-3, atol=1e-9)
+
+
+def test_emitter_cap_warns_and_tracks_first_k():
+    """A scene with more live emitters than n_em_cap warns (concrete
+    scenes only — VERDICT r3 item 4) and still produces correct
+    cotangents for the first k ordinals; ordinals >= k get exact zeros."""
+    import warnings
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        contract_physical_jacobian, render_physical_pallas_bwd,
+        render_physical_pallas_fused, render_physical_pallas_vjp,
+    )
+
+    b = pt.SceneBuilder(sky_color=(0.02, 0.02, 0.03))
+    ground = b.add_material(albedo=(0.5, 0.5, 0.5), roughness=1.0)
+    b.add_triangle(v0=(-50, -1, -50), v1=(50, -1, -50), v2=(50, -1, 50),
+                   material=ground)
+    b.add_triangle(v0=(-50, -1, -50), v1=(-50, -1, 50), v2=(50, -1, 50),
+                   material=ground)
+    for i in range(10):
+        lamp = b.add_material(
+            albedo=(0.0, 0.0, 0.0),
+            emission_color=(1.0, 0.9, 0.8),
+            emission_strength=4.0 + i,
+        )
+        b.add_sphere(center=(-4.5 + i, 2.0, 6.0), radius=0.3, material=lamp)
+    scene = b.build()
+    h, w, spp, bounces, seed = 8, 128, 2, 2, 43
+    g = jnp.ones((h, w, 3), jnp.float32)
+
+    # the default cap (min(n_sph, 8) = 8) is smaller than the 10 live
+    # emitters -> the public wrapper warns
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        render_physical_pallas_vjp(
+            scene, CAM, h, w, spp, bounces, jnp.uint32(seed), jitter=False
+        )
+        assert any("n_em_cap" in str(r.message) for r in rec), (
+            [str(r.message) for r in rec]
+        )
+
+    # cap=4: ordinals 0-3 match the full-cap run; ordinals >= 4 exact 0
+    full = render_physical_pallas_bwd(
+        scene, CAM, g, h, w, spp, bounces, jnp.uint32(seed),
+        tile=(8, 128), jitter=False, n_em_cap=10,
+    )
+    _, jac, jgeo = render_physical_pallas_fused(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+        tile=(8, 128), interpret=True, jitter=False, n_em_cap=4,
+    )
+    capped = contract_physical_jacobian(scene, jac, g, spp, jac_geo=jgeo)
+    fc = np.asarray(full.spheres.center)
+    cc = np.asarray(capped.spheres.center)
+    # the 10 spheres are the 10 emitters, index == ordinal
+    np.testing.assert_allclose(cc[:4], fc[:4], rtol=2e-4, atol=1e-7)
+    assert np.abs(fc[4:]).max() > 0.0  # full cap tracks them...
+    assert not np.any(cc[4:])  # ...capped run zeroes them, as documented
+
+
+def test_phys_vjp_camera_cotangent_contract():
+    """Camera cotangents through the physical Pallas VJP are ZERO BY
+    CONTRACT (an approximation — core AD's are nonzero through the NEE
+    cosine/solid-angle terms). Pin both halves so the documented gap
+    stays documented (VERDICT r3 item 5)."""
+    import jax
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas_vjp,
+    )
+
+    scene = _nee_light_scene(light_albedo=0.8)
+    h, w, spp, bounces = 8, 128, 2, 2
+
+    def loss(fn, cam):
+        return jnp.mean(fn(scene, cam, h, w, spp, bounces, jnp.uint32(3)))
+
+    g_fast = jax.grad(
+        lambda c: loss(
+            lambda *a: render_physical_pallas_vjp(*a, jitter=False), c
+        )
+    )(CAM)
+    g_core = jax.grad(
+        lambda c: loss(lambda *a: render_physical(*a, jitter=False), c)
+    )(CAM)
+    fast_leaves = np.concatenate(
+        [np.ravel(l) for l in jax.tree_util.tree_leaves(g_fast)]
+    )
+    core_leaves = np.concatenate(
+        [np.ravel(l) for l in jax.tree_util.tree_leaves(g_core)]
+    )
+    assert not np.any(fast_leaves)  # the contract: exact zeros
+    assert np.abs(core_leaves).max() > 1e-8  # the gap is real
 
 
 def test_phys_vjp_wrapper_matches_core_grad():
