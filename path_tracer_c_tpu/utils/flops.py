@@ -169,7 +169,8 @@ def count_ops(fn, *args, while_trips: float = 1.0, **kwargs):
 
 def kernel_op_counts(scene, camera, spp: int, max_bounces: int,
                      tile=None, jitter: bool = False,
-                     kind: str = "forward", n_em_cap: int = 0):
+                     kind: str = "forward", n_em_cap: int = 0,
+                     while_trips: float | None = None):
     """Per-tile op counts of one production kernel, from its own trace.
 
     ``kind`` selects the kernel: ``"forward"`` (reference-tier
@@ -178,11 +179,15 @@ def kernel_op_counts(scene, camera, spp: int, max_bounces: int,
     (physical replay+sweep backward). Traces ONE pallas tile (rows=th,
     width=tw) in interpreter mode — the interpreter executes the
     identical jnp graph the Mosaic kernel runs — and returns counts per
-    tile plus the tile shape, so callers scale by the grid size. The
-    bounce while_loops are charged their full worst-case trips (lanes are
-    masked, not skipped; only the all-dead tile exit — rare on real
-    scenes at 64 spp — makes this an overcount, so sol_fraction is if
-    anything *understated*)."""
+    tile plus the tile shape, so callers scale by the grid size.
+
+    By default the bounce while_loops are charged their full worst-case
+    trips; the all-dead tile exit makes that an OVERcount of what the
+    kernel executes (r4 measured ~28% of forward rounds skipped on the
+    glossy bench scene), which *overstates* sol_fraction. Pass
+    ``while_trips`` (the measured mean executed loop trips, e.g. from
+    ``render_pallas(count_rounds=True)``) for executed-basis accounting
+    — bench.py reports both."""
     from ..ops.pallas_kernels import render_pallas, DEFAULT_TILE
 
     th, tw = tile or DEFAULT_TILE
@@ -249,6 +254,8 @@ def kernel_op_counts(scene, camera, spp: int, max_bounces: int,
     else:
         raise ValueError(f"unknown kernel kind {kind!r}")
 
+    if while_trips is not None:
+        trips = while_trips
     counts = count_ops(one_tile, jnp.uint32(1), while_trips=trips)
     counts["tile"] = (th, tw)
     return counts
@@ -293,7 +300,7 @@ def _calib_kernel(reps_ref, x_ref, o_ref, *, kind: str):
     o_ref[...] = jax.lax.fori_loop(0, reps, body, x)
 
 
-def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
+def measure_vpu_rate(transcendental: bool = False, reps: int | None = None,
                      shape=(64, 128), iters: int = 5,
                      alu_rate: float | None = None,
                      kind: str | None = None,
@@ -323,6 +330,14 @@ def measure_vpu_rate(transcendental: bool = False, reps: int = 1 << 17,
 
     if kind is None:
         kind = "sqrt" if transcendental else "alu"
+    if reps is None:
+        # Size the timed region well above the tunnel's ~ms dispatch
+        # jitter: the difference method cancels the MEAN dispatch cost
+        # but not its variance, and at 1<<17 the ALU region (~14 ms) was
+        # comparable to it — r4 measured a 3x sample spread. Cheap
+        # classes get more reps; the 100x-cost trig keeps fewer.
+        reps = {"alu": 1 << 19, "sqrt": 1 << 18, "explog": 1 << 18,
+                "trig": 1 << 16}[kind]
     interpret = jax.default_backend() != "tpu"
     if interpret:
         reps = min(reps, 8)
@@ -389,7 +404,8 @@ def sol_report(scene, camera, height: int, width: int, spp: int,
                tile=None, jitter: bool = False,
                alu_rate: float | None = None,
                transc_rate: float | None = None,
-               kind: str = "forward", n_em_cap: int = 0):
+               kind: str = "forward", n_em_cap: int = 0,
+               while_trips: float | None = None):
     """Measured speed-of-light report for one production kernel.
 
     ``measured_seconds`` is the timed wall clock of the render; ``kind``
@@ -404,7 +420,7 @@ def sol_report(scene, camera, height: int, width: int, spp: int,
     th, tw = tile or DEFAULT_TILE
     counts = kernel_op_counts(scene, camera, spp, max_bounces,
                               tile=(th, tw), jitter=jitter, kind=kind,
-                              n_em_cap=n_em_cap)
+                              n_em_cap=n_em_cap, while_trips=while_trips)
     n_tiles = (height // th) * (width // tw)
     alu = counts["alu"] * n_tiles
     transc = counts["transcendental"] * n_tiles

@@ -17,8 +17,11 @@ Prints one JSON line per point:
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_scene(n_sph: int, n_mat: int, seed: int = 0):
