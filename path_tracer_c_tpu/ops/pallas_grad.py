@@ -102,6 +102,7 @@ def _fused_kernel(
     dr_store,  # (B+1, TH, TW) transparency ratio derivative
     *,
     th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, mat_skip,
+    early_exit="once",
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -322,15 +323,37 @@ def _fused_kernel(
             ones, ones, ones, zero, zero, zero, st, zero,
         )
 
-        def w_cond(c):
-            b, fc = c
-            return (b < max_bounces + 1) & (jnp.min(fc[13]) < 1.0)
+        # Early-exit menu (same as the forward kernel): "once" pays ONE
+        # structural-death reduce after round 0 — sky tiles (the common
+        # all-dead case) still skip the budget, content tiles run it
+        # unconditionally. Extra rounds on mid-dying tiles are exact:
+        # dead lanes store P == 0 and the sweep re-anchors at the stored
+        # death event, so fully-written stores are always safe.
+        if early_exit == "once":
+            fc1 = fwd_body(0, fc0)
+            alive0 = jnp.min(fc1[13]) < 1.0
+            fc = jax.lax.cond(
+                alive0,
+                lambda f: jax.lax.fori_loop(1, max_bounces + 1,
+                                            fwd_body, f),
+                lambda f: f,
+                fc1,
+            )
+            bend = jnp.where(alive0, jnp.int32(max_bounces + 1),
+                             jnp.int32(1))
+        else:
+            def w_cond(c):
+                b, fc = c
+                if not early_exit:
+                    return b < max_bounces + 1
+                return (b < max_bounces + 1) & (jnp.min(fc[13]) < 1.0)
 
-        def w_body(c):
-            b, fc = c
-            return b + 1, fwd_body(b, fc)
+            def w_body(c):
+                b, fc = c
+                return b + 1, fwd_body(b, fc)
 
-        bend, fc = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), fc0))
+            bend, fc = jax.lax.while_loop(w_cond, w_body,
+                                          (jnp.int32(0), fc0))
         (_, _, _, _, _, _, tr_e, tg_e, tb_e, ar, ag, ab, _, _) = fc
 
         # bounce budget exhausted -> sky, both for the primal and for the
@@ -496,7 +519,7 @@ def _fit_tile(rows, width, tile, n_mat, max_bounces,
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret",
-        "rows", "jitter", "mat_skip",
+        "rows", "jitter", "mat_skip", "early_exit",
     ),
 )
 def render_pallas_fused(
@@ -514,6 +537,7 @@ def render_pallas_fused(
     rows: int | None = None,
     jitter: bool = False,
     mat_skip: bool = False,
+    early_exit: bool | str = "once",
 ):
     """Primal radiance image (rows, W, 3) PLUS its per-pixel material
     Jacobian (9*M+3, rows, W) in one kernel pass (module docstring).
@@ -545,6 +569,7 @@ def render_pallas_fused(
         max_bounces=max_bounces,
         jitter=jitter,
         mat_skip=mat_skip,
+        early_exit=early_exit,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     par_i = jnp.stack(

@@ -445,6 +445,7 @@ def _kernel(
     max_bounces: int,
     jitter: bool = False,
     count_rounds: bool = False,
+    early_exit: bool | str = "once",
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -552,18 +553,46 @@ def _kernel(
         # Remaining bounces with early exit: termination is zero
         # throughput (see shade), so once every lane's throughput is zero
         # the rest of the bounce budget contributes exactly nothing.
-        def w_cond(carry):
-            b, s = carry
-            return (b < max_bounces + 1) & (
-                jnp.max(s[6] + s[7] + s[8]) > 0.0
-            )
-
-        def w_body(carry):
-            b, s = carry
+        # ``early_exit`` selects the check scheme (bit-identical output
+        # in all three: skipped rounds only ever add exact zeros):
+        #   True  — per-round cross-lane reduce in the while cond;
+        #   "once" — ONE reduce after the hoisted round 0, then the rest
+        #           of the budget unconditionally: round skips are
+        #           bimodal (sky tiles die at round 0, content tiles run
+        #           ~the full budget), so one check keeps most of the
+        #           skip value at 1/max_bounces of the reduce cost
+        #           (measured ~12% of wall — docs/PERFORMANCE.md);
+        #   False — no check, full budget (diagnostic).
+        def w_body_b(b, s):
             hit = closest_hit(s[0], s[1], s[2], s[3], s[4], s[5])
-            return b + 1, shade(hit, fetch_materials(hit[4]), s)
+            return shade(hit, fetch_materials(hit[4]), s)
 
-        bend, out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(1), st13))
+        if early_exit == "once":
+            alive0 = jnp.max(st13[6] + st13[7] + st13[8]) > 0.0
+            out = jax.lax.cond(
+                alive0,
+                lambda s: jax.lax.fori_loop(1, max_bounces + 1,
+                                            w_body_b, s),
+                lambda s: s,
+                st13,
+            )
+            bend = jnp.where(alive0, jnp.int32(max_bounces + 1),
+                             jnp.int32(1))
+        else:
+            def w_cond(carry):
+                b, s = carry
+                if not early_exit:
+                    return b < max_bounces + 1
+                return (b < max_bounces + 1) & (
+                    jnp.max(s[6] + s[7] + s[8]) > 0.0
+                )
+
+            def w_body(carry):
+                b, s = carry
+                return b + 1, w_body_b(b, s)
+
+            bend, out = jax.lax.while_loop(w_cond, w_body,
+                                           (jnp.int32(1), st13))
         (_, _, _, _, _, _, tr, tg, tb, ar, ag, ab, _) = out
         # Bounce budget exhausted -> sky (rtx_frag.glsl:212-214); dead
         # lanes carry zero throughput, so no mask is needed.
@@ -645,7 +674,7 @@ def _camera_params(camera: Camera, scene: Scene, height: int, width: int):
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret", "rows",
-        "jitter", "count_rounds",
+        "jitter", "count_rounds", "early_exit",
     ),
 )
 def render_pallas(
@@ -663,6 +692,7 @@ def render_pallas(
     rows: int | None = None,
     jitter: bool = False,
     count_rounds: bool = False,
+    early_exit: bool | str = "once",
 ):
     """Radiance image (rows, W, 3) f32 via the Pallas megakernel.
 
@@ -705,6 +735,7 @@ def render_pallas(
         max_bounces=max_bounces,
         jitter=jitter,
         count_rounds=count_rounds,
+        early_exit=early_exit,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     par_i = jnp.stack(

@@ -543,6 +543,7 @@ def _phys_kernel(
     *maybe_cnt,  # with count_rounds: (1, 1) SMEM i32 executed-round counter
     th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee,
     count_rounds=False,
+    early_exit="once",
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -601,18 +602,37 @@ def _phys_kernel(
             st, zero,
         )
 
-        def w_cond(carry):
-            b, s_ = carry
-            return (b < max_bounces + 1) & (
-                jnp.max(s_[6] + s_[7] + s_[8]) > 0.0
+        # same early-exit scheme menu as the reference forward kernel
+        # (pallas_kernels._kernel): "once" checks a single cross-lane
+        # reduce after round 0 (sky tiles die there; content tiles run
+        # ~the full budget), True checks every round, False never.
+        if early_exit == "once":
+            st1 = bounce(state0)
+            alive0 = jnp.max(st1[6] + st1[7] + st1[8]) > 0.0
+            out = jax.lax.cond(
+                alive0,
+                lambda s_: jax.lax.fori_loop(
+                    1, max_bounces + 1, lambda b, s2: bounce(s2), s_),
+                lambda s_: s_,
+                st1,
             )
+            bend = jnp.where(alive0, jnp.int32(max_bounces + 1),
+                             jnp.int32(1))
+        else:
+            def w_cond(carry):
+                b, s_ = carry
+                if not early_exit:
+                    return b < max_bounces + 1
+                return (b < max_bounces + 1) & (
+                    jnp.max(s_[6] + s_[7] + s_[8]) > 0.0
+                )
 
-        def w_body(carry):
-            b, s_ = carry
-            return b + 1, bounce(s_)
+            def w_body(carry):
+                b, s_ = carry
+                return b + 1, bounce(s_)
 
-        bend, out = jax.lax.while_loop(w_cond, w_body,
-                                       (jnp.int32(0), state0))
+            bend, out = jax.lax.while_loop(w_cond, w_body,
+                                           (jnp.int32(0), state0))
         (_, _, _, _, _, _, tr, tg, tb, ar, ag, ab, _, _) = out
         # bounce budget exhausted -> sky
         ar = ar + tr * sky[0]
@@ -1062,6 +1082,7 @@ def _phys_fused_kernel(
     emat_store,  # (B+1, TH, TW) i32 sampled-emitter material
     *,
     th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee, n_em_cap,
+    early_exit="once",
 ):
     """Fused physical-tier primal + material/sky Jacobian (the physical
     analog of pallas_grad._fused_kernel; see that module's math). Per
@@ -1179,24 +1200,52 @@ def _phys_fused_kernel(
         )
 
         # replay = the forward (exits only on structural deaths; a
-        # zero-albedo lane still needs its suffix carry — pallas_grad.py)
-        def w_cond(c_):
-            b, s_, done = c_
-            return (b < max_bounces + 1) & (jnp.min(done) < 1.0)
+        # zero-albedo lane still needs its suffix carry — pallas_grad.py).
+        # "once" scheme (see pallas_grad._fused_kernel): one
+        # structural-death reduce after round 0 (sky tiles), rest of the
+        # budget unconditional — extra rounds store P == 0 for dead
+        # lanes and the sweep re-anchors at the stored death, so they
+        # are exact.
+        def body_b(b, s_):
+            return bounce(s_, b=b, store=store)
 
-        def w_body(c_):
-            b, s_, done = c_
-            s_new = bounce(s_, b=b, store=store)
-            hit_f = mk_store[b, 0]
-            tir_f = mk_store[b, 2]
-            done = jnp.maximum(
-                done, jnp.where((hit_f > 0.0) & (tir_f == 0.0), 0.0, 1.0)
+        if early_exit == "once":
+            s1 = body_b(0, state0)
+            hit_f = mk_store[0, 0]
+            tir_f = mk_store[0, 2]
+            alive0 = jnp.max(
+                jnp.where((hit_f > 0.0) & (tir_f == 0.0), 1.0, 0.0)
+            ) > 0.0
+            s_end = jax.lax.cond(
+                alive0,
+                lambda s2: jax.lax.fori_loop(1, max_bounces + 1,
+                                             body_b, s2),
+                lambda s2: s2,
+                s1,
             )
-            return b + 1, s_new, done
+            bend = jnp.where(alive0, jnp.int32(max_bounces + 1),
+                             jnp.int32(1))
+        else:
+            def w_cond(c_):
+                b, s_, done = c_
+                if not early_exit:
+                    return b < max_bounces + 1
+                return (b < max_bounces + 1) & (jnp.min(done) < 1.0)
 
-        bend, s_end, _ = jax.lax.while_loop(
-            w_cond, w_body, (jnp.int32(0), state0, zero)
-        )
+            def w_body(c_):
+                b, s_, done = c_
+                s_new = body_b(b, s_)
+                hit_f = mk_store[b, 0]
+                tir_f = mk_store[b, 2]
+                done = jnp.maximum(
+                    done,
+                    jnp.where((hit_f > 0.0) & (tir_f == 0.0), 0.0, 1.0),
+                )
+                return b + 1, s_new, done
+
+            bend, s_end, _ = jax.lax.while_loop(
+                w_cond, w_body, (jnp.int32(0), state0, zero)
+            )
         tr_e, tg_e, tb_e = s_end[6], s_end[7], s_end[8]
         ar, ag, ab = s_end[9], s_end[10], s_end[11]
         # budget exhausted -> sky; same association as _phys_kernel so
@@ -1324,7 +1373,7 @@ _PHYS_FUSED_BOUNCE_PLANES = 22
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret",
-        "rows", "jitter", "nee", "n_em_cap",
+        "rows", "jitter", "nee", "n_em_cap", "early_exit",
     ),
 )
 def render_physical_pallas_fused(
@@ -1343,6 +1392,7 @@ def render_physical_pallas_fused(
     jitter: bool = True,
     nee: bool = True,
     n_em_cap: int = 0,
+    early_exit: bool | str = "once",
 ):
     """Physical-tier primal radiance (rows, W, 3) PLUS its per-pixel
     material/sky Jacobian (9*M+3, rows, W) in one kernel pass — the
@@ -1381,6 +1431,7 @@ def render_physical_pallas_fused(
         jitter=jitter,
         nee=nee,
         n_em_cap=n_em_cap,
+        early_exit=early_exit,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     operands = _phys_operands(
@@ -1563,7 +1614,7 @@ def _phys_operands(scene, camera, height, width, seed, sample_offset,
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret", "rows",
-        "jitter", "nee", "count_rounds",
+        "jitter", "nee", "count_rounds", "early_exit",
     ),
 )
 def render_physical_pallas(
@@ -1582,6 +1633,7 @@ def render_physical_pallas(
     jitter: bool = True,
     nee: bool = True,
     count_rounds: bool = False,
+    early_exit: bool | str = "once",
 ):
     """Physical-tier radiance image (rows, W, 3) f32 via the Pallas
     megakernel — the fast path for ``models/physical.render_physical``
@@ -1610,6 +1662,7 @@ def render_physical_pallas(
         jitter=jitter,
         nee=nee,
         count_rounds=count_rounds,
+        early_exit=early_exit,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     operands = _phys_operands(
