@@ -115,6 +115,67 @@ def test_pallas_count_rounds():
     assert 0 < int(cnt_p) <= nominal
 
 
+def test_pallas_early_exit_schemes_bit_identical():
+    """The three early-exit schemes ("once" default, per-round True,
+    no-check False) must produce bit-identical images: skipped rounds
+    only ever add exact zeros, so the check placement is pure schedule.
+    Covers the forward, the physical forward, and both fused kernels
+    (primal + Jacobian planes)."""
+    from path_tracer_c_tpu.ops.pallas_grad import render_pallas_fused
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas, render_physical_pallas_fused,
+    )
+
+    scene = demo.demo_scene()  # sky region -> tiles that die at round 0
+    h, w, spp, bounces, seed = 16, 256, 2, 3, 9
+    base = np.asarray(
+        render_pallas(scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+                      tile=(8, 128), interpret=True)
+    )
+    for mode in (True, False):
+        alt = np.asarray(
+            render_pallas(scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+                          tile=(8, 128), interpret=True, early_exit=mode)
+        )
+        np.testing.assert_array_equal(base, alt)
+
+    basep = np.asarray(
+        render_physical_pallas(scene, CAM, h, w, spp, bounces,
+                               jnp.uint32(seed), tile=(8, 128),
+                               interpret=True)
+    )
+    for mode in (True, False):
+        altp = np.asarray(
+            render_physical_pallas(scene, CAM, h, w, spp, bounces,
+                                   jnp.uint32(seed), tile=(8, 128),
+                                   interpret=True, early_exit=mode)
+        )
+        np.testing.assert_array_equal(basep, altp)
+
+    img0, jac0 = render_pallas_fused(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(seed), tile=(8, 128),
+        interpret=True,
+    )
+    img1, jac1 = render_pallas_fused(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(seed), tile=(8, 128),
+        interpret=True, early_exit=True,
+    )
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    np.testing.assert_array_equal(np.asarray(jac0), np.asarray(jac1))
+
+    p0, pj0, pg0 = render_physical_pallas_fused(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(seed), tile=(8, 128),
+        interpret=True, jitter=False, n_em_cap=1,
+    )
+    p1, pj1, pg1 = render_physical_pallas_fused(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(seed), tile=(8, 128),
+        interpret=True, jitter=False, n_em_cap=1, early_exit=True,
+    )
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(pj0), np.asarray(pj1))
+    np.testing.assert_array_equal(np.asarray(pg0), np.asarray(pg1))
+
+
 def test_pallas_divisibility_error():
     with pytest.raises(ValueError):
         render_pallas(
