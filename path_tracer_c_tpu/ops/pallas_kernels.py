@@ -507,6 +507,8 @@ def _kernel(
     if not jitter:
         hit0 = closest_hit(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
         mats0 = fetch_materials(hit0[4])
+    # whole-tile sky gate: only sound when bounce 0 is sample-invariant
+    tile_gate = early_exit == "once" and not jitter
 
     def sample_body(s, acc):
         acc_r, acc_g, acc_b = acc[:3]
@@ -567,7 +569,13 @@ def _kernel(
             hit = closest_hit(s[0], s[1], s[2], s[3], s[4], s[5])
             return shade(hit, fetch_materials(hit[4]), s)
 
-        if early_exit == "once":
+        if tile_gate:
+            # the whole-tile sky gate below already proved some lane hit
+            # at bounce 0 (shared across samples — no jitter), so run
+            # the full budget with no per-sample check at all
+            out = jax.lax.fori_loop(1, max_bounces + 1, w_body_b, st13)
+            bend = jnp.int32(max_bounces + 1)
+        elif early_exit == "once":
             alive0 = jnp.max(st13[6] + st13[7] + st13[8]) > 0.0
             out = jax.lax.cond(
                 alive0,
@@ -610,7 +618,30 @@ def _kernel(
     init = (zero, zero, zero) + (
         (jnp.int32(0),) if count_rounds else ()
     )
-    acc = jax.lax.fori_loop(0, spp, sample_body, init)
+    if tile_gate:
+        # Whole-tile sky gate: without jitter every sample shares the
+        # hoisted bounce-0 hit, so "all lanes miss at bounce 0" is a
+        # per-TILE fact — one reduce replaces 64 per-sample checks, and
+        # all-sky tiles skip the sample loop entirely. The sky branch
+        # replays the live path's exact arithmetic (per sample:
+        # acc += (0 + 1*sky + 0.0...) == acc + sky), so images stay
+        # bit-identical to the checked schemes.
+        tile_alive = jnp.max(jnp.where(hit0[0] < _INF, 1.0, 0.0)) > 0.0
+
+        def run_sky():
+            def sbody(s, acc):
+                a = (acc[0] + sky_r, acc[1] + sky_g, acc[2] + sky_b)
+                return a + ((acc[3],) if count_rounds else ())
+
+            return jax.lax.fori_loop(0, spp, sbody, init)
+
+        acc = jax.lax.cond(
+            tile_alive,
+            lambda: jax.lax.fori_loop(0, spp, sample_body, init),
+            run_sky,
+        )
+    else:
+        acc = jax.lax.fori_loop(0, spp, sample_body, init)
     inv = jnp.float32(1.0 / spp)
     out_ref[0] = acc[0] * inv
     out_ref[1] = acc[1] * inv

@@ -89,16 +89,26 @@ def test_pallas_count_rounds():
     nominal = n_tiles * spp * (bounces + 1)
     assert 0 < int(cnt) <= nominal, (int(cnt), nominal)
 
-    # all-sky scene: every lane misses at round 0 -> exactly 1 round per
-    # (tile, sample)
+    # all-sky scene: under the default whole-tile gate (no jitter) the
+    # sample loop is skipped entirely -> 0 executed rounds; the
+    # per-round scheme executes exactly 1 round per (tile, sample)
     b = pt.SceneBuilder(sky_color=(0.2, 0.3, 0.4))
     b.add_material(albedo=(1.0, 0.0, 0.0))
     b.add_sphere(center=(0.0, 0.0, -100.0), radius=1.0, material=0)  # behind
     sky_scene = b.build()
-    _, cnt_sky = render_pallas(sky_scene, CAM, h, w, spp, bounces,
-                               jnp.uint32(5), tile=(8, 128), interpret=True,
-                               count_rounds=True)
-    assert int(cnt_sky) == n_tiles * spp, (int(cnt_sky), n_tiles * spp)
+    img_sky, cnt_sky = render_pallas(sky_scene, CAM, h, w, spp, bounces,
+                                     jnp.uint32(5), tile=(8, 128),
+                                     interpret=True, count_rounds=True)
+    assert int(cnt_sky) == 0, int(cnt_sky)
+    np.testing.assert_array_equal(
+        np.asarray(img_sky),
+        np.broadcast_to(np.asarray([0.2, 0.3, 0.4], np.float32), (h, w, 3)),
+    )
+    _, cnt_sky_t = render_pallas(sky_scene, CAM, h, w, spp, bounces,
+                                 jnp.uint32(5), tile=(8, 128),
+                                 interpret=True, count_rounds=True,
+                                 early_exit=True)
+    assert int(cnt_sky_t) == n_tiles * spp, (int(cnt_sky_t), n_tiles * spp)
 
     # physical kernel: same contract
     from path_tracer_c_tpu.ops.pallas_physical import render_physical_pallas
