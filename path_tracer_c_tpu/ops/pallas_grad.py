@@ -159,6 +159,9 @@ def _fused_kernel(
     if not jitter:
         hit0 = closest_hit(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
         mats0 = fetch_materials(hit0[4])
+    # whole-tile sky gate (see pallas_kernels._kernel): sound only when
+    # bounce 0 is sample-invariant
+    tile_gate = early_exit == "once" and not jitter
 
     def sample_body(s, acc_img):
         acc_r, acc_g, acc_b = acc_img
@@ -329,6 +332,8 @@ def _fused_kernel(
         # unconditionally. Extra rounds on mid-dying tiles are exact:
         # dead lanes store P == 0 and the sweep re-anchors at the stored
         # death event, so fully-written stores are always safe.
+        # (under the tile gate this per-sample check stays: TIR on a
+        # bounce-0 glass hit is per-sample even with shared primaries)
         if early_exit == "once":
             fc1 = fwd_body(0, fc0)
             alive0 = jnp.min(fc1[13]) < 1.0
@@ -470,7 +475,35 @@ def _fused_kernel(
                           bwd_body, T0)
         return (acc_r, acc_g, acc_b)
 
-    acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
+    if tile_gate:
+        # Whole-tile sky gate (pallas_kernels._kernel): all primaries
+        # miss -> every sample's primal is exactly sky and the ONLY
+        # nonzero Jacobian entry is the sky weight K += P_0 == 1 per
+        # sample (the sweep's single miss round). The gated branch
+        # replays that arithmetic exactly: sequential ones-sums equal a
+        # single +spp for integer-valued f32 (spp << 2^24), and the
+        # sequential acc += sky matches the live path's rounding.
+        tile_alive = jnp.max(jnp.where(hit0[0] < fk._INF, 1.0, 0.0)) > 0.0
+
+        def run_sky():
+            sky_base = _MAT_J_PLANES * n_mat
+            sppf = jnp.float32(spp)
+            for c in range(3):
+                j_ref[sky_base + c] = j_ref[sky_base + c] + sppf * ones
+
+            def sbody(s, a):
+                return (a[0] + sky_r, a[1] + sky_g, a[2] + sky_b)
+
+            return jax.lax.fori_loop(0, spp, sbody, (zero, zero, zero))
+
+        acc = jax.lax.cond(
+            tile_alive,
+            lambda: jax.lax.fori_loop(0, spp, sample_body,
+                                      (zero, zero, zero)),
+            run_sky,
+        )
+    else:
+        acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
     inv = jnp.float32(1.0 / spp)
     img_ref[0] = acc[0] * inv
     img_ref[1] = acc[1] * inv

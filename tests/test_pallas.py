@@ -173,6 +173,23 @@ def test_pallas_early_exit_schemes_bit_identical():
     np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
     np.testing.assert_array_equal(np.asarray(jac0), np.asarray(jac1))
 
+    # all-sky scene exercises the fused kernel's whole-tile gate branch
+    # (primal == sky, K plane == spp, everything else zero)
+    bsky = pt.SceneBuilder(sky_color=(0.2, 0.3, 0.4))
+    bsky.add_material(albedo=(1.0, 0.0, 0.0))
+    bsky.add_sphere(center=(0.0, 0.0, -100.0), radius=1.0, material=0)
+    sky_scene = bsky.build()
+    s0, sj0 = render_pallas_fused(
+        sky_scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+        tile=(8, 128), interpret=True,
+    )
+    s1, sj1 = render_pallas_fused(
+        sky_scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+        tile=(8, 128), interpret=True, early_exit=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(sj0), np.asarray(sj1))
+
     p0, pj0, pg0 = render_physical_pallas_fused(
         scene, CAM, h, w, spp, bounces, jnp.uint32(seed), tile=(8, 128),
         interpret=True, jitter=False, n_em_cap=1,
