@@ -575,6 +575,20 @@ def _phys_kernel(
     cam_ox = jnp.full((th, tw), cox)
     cam_oy = jnp.full((th, tw), coy)
     cam_oz = jnp.full((th, tw), coz)
+    # whole-tile sky gate (pallas_kernels._kernel): with shared primary
+    # rays, "every lane misses at bounce 0" is a per-tile fact; one
+    # distance-only probe replaces all per-sample checks and sky tiles
+    # skip the sample loop. Physical bounce arithmetic for a bounce-0
+    # miss is exactly acc += sky (throughput zeroed before Le/NEE).
+    tile_gate = early_exit == "once" and not jitter
+    if tile_gate:
+        probe = fk.make_geometry(
+            sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n,
+            tri_m, tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
+            sky, th, tw, n_sph, n_tri, n_mat,
+        )[0].closest_t
+        t0p = probe(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
+        tile_alive = jnp.max(jnp.where(t0p < fk._INF, 1.0, 0.0)) > 0.0
 
     def sample_body(s, acc):
         acc_r, acc_g, acc_b = acc[:3]
@@ -606,7 +620,13 @@ def _phys_kernel(
         # (pallas_kernels._kernel): "once" checks a single cross-lane
         # reduce after round 0 (sky tiles die there; content tiles run
         # ~the full budget), True checks every round, False never.
-        if early_exit == "once":
+        if tile_gate:
+            # the tile-level probe already proved a bounce-0 hit exists
+            # (shared primaries), so no per-sample check at all
+            out = jax.lax.fori_loop(0, max_bounces + 1,
+                                    lambda b, s2: bounce(s2), state0)
+            bend = jnp.int32(max_bounces + 1)
+        elif early_exit == "once":
             st1 = bounce(state0)
             alive0 = jnp.max(st1[6] + st1[7] + st1[8]) > 0.0
             out = jax.lax.cond(
@@ -645,7 +665,21 @@ def _phys_kernel(
     init = (zero, zero, zero) + (
         (jnp.int32(0),) if count_rounds else ()
     )
-    acc = jax.lax.fori_loop(0, spp, sample_body, init)
+    if tile_gate:
+        def run_sky():
+            def sbody(s, a):
+                out = (a[0] + sky[0], a[1] + sky[1], a[2] + sky[2])
+                return out + ((a[3],) if count_rounds else ())
+
+            return jax.lax.fori_loop(0, spp, sbody, init)
+
+        acc = jax.lax.cond(
+            tile_alive,
+            lambda: jax.lax.fori_loop(0, spp, sample_body, init),
+            run_sky,
+        )
+    else:
+        acc = jax.lax.fori_loop(0, spp, sample_body, init)
     inv = jnp.float32(1.0 / spp)
     out_ref[0] = acc[0] * inv
     out_ref[1] = acc[1] * inv
@@ -1123,6 +1157,20 @@ def _phys_fused_kernel(
     cam_ox = jnp.full((th, tw), cox)
     cam_oy = jnp.full((th, tw), coy)
     cam_oz = jnp.full((th, tw), coz)
+    # whole-tile sky gate (see _phys_kernel): for an all-miss tile the
+    # primal is exactly sky, the only nonzero Jacobian entry is the
+    # sky-K plane += 1 per sample (the sweep's single miss round), and
+    # the geometry planes stay zero — so the gated branch writes those
+    # closed forms and skips the replay + sweep entirely.
+    tile_gate = early_exit == "once" and not jitter
+    if tile_gate:
+        probe = fk.make_geometry(
+            sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n,
+            tri_m, tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
+            (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat,
+        )[0].closest_t
+        t0p = probe(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
+        tile_alive = jnp.max(jnp.where(t0p < fk._INF, 1.0, 0.0)) > 0.0
 
     n_j = 9 * n_mat + 3
 
@@ -1209,7 +1257,12 @@ def _phys_fused_kernel(
         def body_b(b, s_):
             return bounce(s_, b=b, store=store)
 
-        if early_exit == "once":
+        if tile_gate:
+            # the tile probe proved a bounce-0 hit exists; run the full
+            # budget with no per-sample structural-death reduce
+            s_end = jax.lax.fori_loop(0, max_bounces + 1, body_b, state0)
+            bend = jnp.int32(max_bounces + 1)
+        elif early_exit == "once":
             s1 = body_b(0, state0)
             hit_f = mk_store[0, 0]
             tir_f = mk_store[0, 2]
@@ -1356,7 +1409,26 @@ def _phys_fused_kernel(
                           bwd_body, S0)
         return (acc_r, acc_g, acc_b)
 
-    acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
+    if tile_gate:
+        def run_sky():
+            sky_base = 9 * n_mat
+            sppf = jnp.float32(spp)
+            for c in range(3):
+                j_ref[sky_base + c] = j_ref[sky_base + c] + sppf * ones
+
+            def sbody(s, a):
+                return (a[0] + sky_r, a[1] + sky_g, a[2] + sky_b)
+
+            return jax.lax.fori_loop(0, spp, sbody, (zero, zero, zero))
+
+        acc = jax.lax.cond(
+            tile_alive,
+            lambda: jax.lax.fori_loop(0, spp, sample_body,
+                                      (zero, zero, zero)),
+            run_sky,
+        )
+    else:
+        acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
     inv = jnp.float32(1.0 / spp)
     img_ref[0] = acc[0] * inv
     img_ref[1] = acc[1] * inv

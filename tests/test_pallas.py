@@ -190,6 +190,26 @@ def test_pallas_early_exit_schemes_bit_identical():
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
     np.testing.assert_array_equal(np.asarray(sj0), np.asarray(sj1))
 
+    # gated branches of the physical kernels on the all-sky scene
+    # (jitter=False activates the whole-tile probe)
+    ps0 = np.asarray(render_physical_pallas(
+        sky_scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+        tile=(8, 128), interpret=True, jitter=False))
+    ps1 = np.asarray(render_physical_pallas(
+        sky_scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+        tile=(8, 128), interpret=True, jitter=False, early_exit=True))
+    np.testing.assert_array_equal(ps0, ps1)
+    pf0, pfj0, pfg0 = render_physical_pallas_fused(
+        sky_scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+        tile=(8, 128), interpret=True, jitter=False, n_em_cap=1)
+    pf1, pfj1, pfg1 = render_physical_pallas_fused(
+        sky_scene, CAM, h, w, spp, bounces, jnp.uint32(seed),
+        tile=(8, 128), interpret=True, jitter=False, n_em_cap=1,
+        early_exit=True)
+    np.testing.assert_array_equal(np.asarray(pf0), np.asarray(pf1))
+    np.testing.assert_array_equal(np.asarray(pfj0), np.asarray(pfj1))
+    np.testing.assert_array_equal(np.asarray(pfg0), np.asarray(pfg1))
+
     p0, pj0, pg0 = render_physical_pallas_fused(
         scene, CAM, h, w, spp, bounces, jnp.uint32(seed), tile=(8, 128),
         interpret=True, jitter=False, n_em_cap=1,
