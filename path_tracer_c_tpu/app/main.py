@@ -93,7 +93,12 @@ def _render_once(scene, camera, cfg, seed, sample_offset=0):
         # Gate the Pallas physical path on real TPU: off-TPU it would run
         # in interpreter mode, orders of magnitude slower than the XLA
         # core render_physical (ADVICE r2).
+        # tri_nee is a core-engine capability: it blocks the silent
+        # auto-upgrade of "physical" to the (sphere-NEE-only) Pallas
+        # kernel; an explicit "physical_pallas" still wins and ignores it
         if (cfg.height % th == 0 and cfg.width % tw == 0
+                and not (cfg.engine == "physical"
+                         and getattr(cfg, "tri_nee", False))
                 and (jax.default_backend() == "tpu"
                      or cfg.engine == "physical_pallas")):
             from ..ops.pallas_physical import render_physical_pallas
@@ -109,6 +114,7 @@ def _render_once(scene, camera, cfg, seed, sample_offset=0):
         return render_physical(
             scene, camera, cfg.height, cfg.width, cfg.spp, cfg.max_bounces,
             jnp.uint32(seed), jitter=cfg.jitter, sample_offset=sample_offset,
+            tri_nee=getattr(cfg, "tri_nee", False),
         )
     if cfg.engine == "split":
         # the reference GPU shader's exact two-branch estimator
@@ -155,6 +161,8 @@ def cmd_render(args):
         cfg.debug_nans = True
     if getattr(args, "progressive", False):
         cfg.progressive = True
+    if getattr(args, "tri_nee", False):
+        cfg.tri_nee = True
     viewer = None
     if getattr(args, "live", False):
         # terminal live view (the RT-window analog on a headless host)
@@ -521,6 +529,12 @@ def build_parser():
         "--progressive", action="store_true",
         help="rewrite the output BMP with the accumulating image after "
              "every checkpoint chunk (progressive single-view preview)",
+    )
+    r.add_argument(
+        "--tri-nee", action="store_true", dest="tri_nee",
+        help="light-sample emissive TRIANGLES too (physical CORE engine; "
+             "blocks the auto-upgrade to the sphere-NEE-only Pallas "
+             "kernel — use for triangle-lit scenes)",
     )
     r.add_argument(
         "--live", action="store_true",

@@ -59,6 +59,10 @@ class RenderConfig:
     # the output BMP with the accumulated image after every checkpoint
     # chunk, refining a single view in place.
     progressive: bool = False
+    # Triangle-emitter NEE (physical CORE engine only): add emissive
+    # triangles to the light-sampling pool (models/physical.py,
+    # tri_nee). The Pallas physical kernel ignores it (sphere-NEE only).
+    tri_nee: bool = False
 
 
 @dataclass

@@ -411,3 +411,19 @@ def test_configs_1_2_3_render_rehearsal(tmp_path):
         assert data[:2] == b"BM", cfg_path
         w, h = struct.unpack("<ii", data[18:26])
         assert (w, h) == (128, 16), cfg_path
+
+
+def test_render_tri_nee_flag(tmp_path):
+    """--tri-nee routes the physical engine through the core path with
+    triangle-emitter light sampling (and never the sphere-NEE-only
+    Pallas kernel)."""
+    out = tmp_path / "tri.bmp"
+    app.main([
+        "render", "--scene", "demo", "--width", "16", "--height", "8",
+        "--spp", "2", "--max-bounces", "2", "--engine", "physical",
+        "--tri-nee", "--out", str(out),
+    ])
+    data = out.read_bytes()
+    assert data[:2] == b"BM"
+    w, h = struct.unpack("<ii", data[18:26])
+    assert (w, h) == (16, 8)
