@@ -202,20 +202,14 @@ def main():
         ptarget = jax.block_until_ready(phys(jnp.uint32(515151)))
 
         # live emitter count of the (concrete) bench scene — the geometry
-        # cap a fit would use (fit_geometry sizes it the same way); the
-        # glossy scene has 1 emissive sun, so the fused geometry pass
-        # tracks exactly 1 emitter ordinal.
-        n_em = int(
-            np.sum(
-                np.asarray(scene.spheres.active)
-                & (
-                    np.asarray(scene.materials.emission_strength)[
-                        np.asarray(scene.spheres.material)
-                    ]
-                    > 0.0
-                )
-            )
+        # cap a fit would use (fit_geometry sizes it the same way, from
+        # the same shared mask); the glossy scene has 1 emissive sun, so
+        # the fused geometry pass tracks exactly 1 emitter ordinal.
+        from path_tracer_c_tpu.ops.pallas_physical import (
+            live_emitter_count,
         )
+
+        n_em = live_emitter_count(scene)
 
         def time_pgrad(geom):
             fn = jax.jit(

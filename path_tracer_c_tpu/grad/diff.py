@@ -330,16 +330,13 @@ def fit_geometry(
     if engine == "physical_pallas":
         import warnings
 
-        import numpy as np
+        from ..ops.pallas_physical import live_emitter_mask
 
         # concrete scene: size the cap to the live emitter count so every
-        # emitter ordinal is tracked (VERDICT r3 item 4 — no silent zeros)
-        em = np.asarray(scene_init.spheres.active) & (
-            np.asarray(scene_init.materials.emission_strength)[
-                np.asarray(scene_init.spheres.material)
-            ]
-            > 0.0
-        )
+        # emitter ordinal is tracked (VERDICT r3 item 4 — no silent
+        # zeros); the mask is the ONE shared host-side emitter
+        # definition (ops/pallas_physical.live_emitter_mask)
+        em = live_emitter_mask(scene_init)
         n_em_cap = max(int(em.sum()), 1)
         non_em = [int(i) for i in sphere_indices if not em[int(i)]]
         if non_em:

@@ -498,6 +498,10 @@ def make_physical_shading(
         return (nox, noy, noz, ndx, ndy, ndz, tr, tg, tb, ar, ag, ab, rng,
                 prevd)
 
+    # expose the factory's own distance-only query (the whole-tile sky
+    # probes must intersect with EXACTLY the bounce's geometry code —
+    # the CLAUDE.md replay invariant — so no second make_geometry)
+    bounce.closest_t = closest_t
     return bounce
 
 
@@ -582,12 +586,7 @@ def _phys_kernel(
     # miss is exactly acc += sky (throughput zeroed before Le/NEE).
     tile_gate = early_exit == "once" and not jitter
     if tile_gate:
-        probe = fk.make_geometry(
-            sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n,
-            tri_m, tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
-            sky, th, tw, n_sph, n_tri, n_mat,
-        )[0].closest_t
-        t0p = probe(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
+        t0p = bounce.closest_t(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
         tile_alive = jnp.max(jnp.where(t0p < fk._INF, 1.0, 0.0)) > 0.0
 
     def sample_body(s, acc):
@@ -1164,12 +1163,7 @@ def _phys_fused_kernel(
     # closed forms and skips the replay + sweep entirely.
     tile_gate = early_exit == "once" and not jitter
     if tile_gate:
-        probe = fk.make_geometry(
-            sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n,
-            tri_m, tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
-            (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat,
-        )[0].closest_t
-        t0p = probe(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
+        t0p = bounce.closest_t(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
         tile_alive = jnp.max(jnp.where(t0p < fk._INF, 1.0, 0.0)) > 0.0
 
     n_j = 9 * n_mat + 3
@@ -1618,24 +1612,43 @@ def contract_physical_jacobian(scene: Scene, jac, g, spp: int,
     )
 
 
+def live_emitter_mask(scene: Scene):
+    """Host-side per-sphere live-emitter mask (the emitter-pool
+    definition `_emitter_operands` encodes in jnp form: active &
+    strength > 0), or ``None`` when the scene is traced. The ONE place
+    the host-side mask lives — cap sizing (fits, bench) and the cap
+    warning all derive from it, so they cannot drift from the kernel's
+    emitter table."""
+    es = scene.materials.emission_strength
+    if isinstance(es, jax.core.Tracer) or isinstance(
+        scene.spheres.material, jax.core.Tracer
+    ):
+        return None
+    return np.asarray(scene.spheres.active) & (
+        np.asarray(es)[np.asarray(scene.spheres.material)] > 0.0
+    )
+
+
+def live_emitter_count(scene: Scene):
+    """Host-side live emitter count, or ``None`` when the scene is
+    traced (see :func:`live_emitter_mask`)."""
+    em = live_emitter_mask(scene)
+    return None if em is None else int(em.sum())
+
+
 def _check_emitter_cap(scene: Scene, n_em_cap: int, raise_: bool = False):
     """Warn (or raise) when the scene has more live emitters than the
     geometry cap tracks — emitter ordinals >= n_em_cap get exactly-zero
     center/radius cotangents by contract, which would otherwise silently
     freeze those lights in a fit (VERDICT r3 item 4). Checkable only when
     the scene is concrete (under jit tracing the emitter count is a
-    tracer; callers holding concrete scenes — fits, benches — see it)."""
+    tracer; callers holding concrete scenes — fits, benches — see it).
+    Returns the live count (None when traced)."""
     import warnings
 
-    es = scene.materials.emission_strength
-    if isinstance(es, jax.core.Tracer) or isinstance(
-        scene.spheres.material, jax.core.Tracer
-    ):
+    n_em = live_emitter_count(scene)
+    if n_em is None:
         return None
-    em = np.asarray(scene.spheres.active) & (
-        np.asarray(es)[np.asarray(scene.spheres.material)] > 0.0
-    )
-    n_em = int(em.sum())
     if n_em > n_em_cap:
         msg = (
             f"scene has {n_em} emissive spheres but the NEE geometry "
@@ -1996,7 +2009,13 @@ def render_physical_pallas_vjp(
         n_em_cap = min(scene.num_spheres, 8)
     geo_cap = int(n_em_cap) if (geom and nee) else 0
     if geo_cap:
-        _check_emitter_cap(scene, geo_cap)
+        n_live = _check_emitter_cap(scene, geo_cap)
+        if n_live is not None:
+            # concrete scene: tracking more ordinals than live emitters
+            # only buys provably-zero planes (12 per ordinal, each an
+            # O(rows*width) HBM residual + a masked RMW loop per
+            # bounce) — clamp the cap down to the real count
+            geo_cap = min(geo_cap, n_live)
     return _render_physical_pallas_vjp(
         scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
         geo_cap,

@@ -240,8 +240,9 @@ def kernel_op_counts(scene, camera, spp: int, max_bounces: int,
             )
     elif kind == "physical_fused_geom":
         # the fused kernel WITH the in-bounce NEE emitter-geometry
-        # Jacobian — the production geometry fwd+bwd path; pass the same
-        # n_em_cap the timed run used
+        # Jacobian — the production geometry fwd+bwd path; pass the SAME
+        # n_em_cap the timed run used (a cap-0 run compiles no geometry
+        # chain, so forcing 1 here would inflate the modeled ideal time)
         from ..ops.pallas_physical import render_physical_pallas_fused
 
         trips = max_bounces + 1
@@ -249,7 +250,7 @@ def kernel_op_counts(scene, camera, spp: int, max_bounces: int,
         def one_tile(s):
             return render_physical_pallas_fused(
                 scene, camera, th, tw, spp, max_bounces, s, tile=(th, tw),
-                interpret=True, jitter=jitter, n_em_cap=max(n_em_cap, 1),
+                interpret=True, jitter=jitter, n_em_cap=n_em_cap,
             )
     else:
         raise ValueError(f"unknown kernel kind {kind!r}")
