@@ -93,12 +93,7 @@ def _render_once(scene, camera, cfg, seed, sample_offset=0):
         # Gate the Pallas physical path on real TPU: off-TPU it would run
         # in interpreter mode, orders of magnitude slower than the XLA
         # core render_physical (ADVICE r2).
-        # tri_nee is a core-engine capability: it blocks the silent
-        # auto-upgrade of "physical" to the (sphere-NEE-only) Pallas
-        # kernel; an explicit "physical_pallas" still wins and ignores it
         if (cfg.height % th == 0 and cfg.width % tw == 0
-                and not (cfg.engine == "physical"
-                         and getattr(cfg, "tri_nee", False))
                 and (jax.default_backend() == "tpu"
                      or cfg.engine == "physical_pallas")):
             from ..ops.pallas_physical import render_physical_pallas
@@ -108,6 +103,7 @@ def _render_once(scene, camera, cfg, seed, sample_offset=0):
                 cfg.max_bounces, jnp.uint32(seed),
                 sample_offset=sample_offset, tile=(th, tw),
                 jitter=cfg.jitter,
+                tri_nee=getattr(cfg, "tri_nee", False),
             )
         from ..models.physical import render_physical
 
@@ -532,9 +528,9 @@ def build_parser():
     )
     r.add_argument(
         "--tri-nee", action="store_true", dest="tri_nee",
-        help="light-sample emissive TRIANGLES too (physical CORE engine; "
-             "blocks the auto-upgrade to the sphere-NEE-only Pallas "
-             "kernel — use for triangle-lit scenes)",
+        help="light-sample emissive TRIANGLES too (physical engines, "
+             "core and Pallas — variance reduction for triangle-lit "
+             "scenes)",
     )
     r.add_argument(
         "--live", action="store_true",

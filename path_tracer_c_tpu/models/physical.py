@@ -30,9 +30,11 @@ Estimator:
   then skipped at the next vertex (single-counting); specular/refract
   chains and camera rays still collect Le directly. Emissive triangles
   keep direct accumulation by default (unbiased); ``tri_nee=True``
-  (opt-in, core path) adds them to the light-sampling pool by uniform
-  area sampling — measured 302x per-pixel variance reduction on a
-  triangle-lit room (tests/test_physical.py).
+  (opt-in; core path AND the Pallas physical kernels) adds them to the
+  light-sampling pool by uniform area sampling — measured 302x
+  per-pixel variance reduction on a triangle-lit room
+  (tests/test_physical.py; Pallas parity in
+  tests/test_pallas_physical.py).
 
 RNG: fixed 7-draw schedule per bounce (u_transp, u_lobe, 2 BSDF, 1 pick,
 2 cone), all lanes in lockstep.
@@ -101,7 +103,7 @@ def trace_paths_physical(
 ):
     """Physical-mode radiance estimate for a wavefront; see module doc.
 
-    ``tri_nee=True`` (opt-in, core path only) adds emissive TRIANGLES to
+    ``tri_nee=True`` (opt-in) adds emissive TRIANGLES to
     the light-sampling pool: the emitter pick becomes uniform over
     sphere + triangle emitters, triangles are sampled uniformly by area
     (the same v1/v2 draws the sphere cone uses — the 7-draw schedule is

@@ -127,8 +127,10 @@ def _onb(nx, ny, nz):
 
 def make_physical_shading(
     sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m, tri_a,
-    m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph, sky,
-    th, tw, n_sph, n_tri, n_mat, n_em, nee, want_dw=False,
+    m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph,
+    tri_cum, le_tri, tri_area, sky,
+    th, tw, n_sph, n_tri, n_mat, n_em, n_em_t, nee, want_dw=False,
+    tri_nee=False,
 ):
     """Build the physical-tier ``bounce`` routine over SMEM scene refs.
 
@@ -145,6 +147,12 @@ def make_physical_shading(
     sky_r, sky_g, sky_b = sky
     n_em_f = n_em.astype(jnp.float32)
     has_em = n_em > 0
+    if tri_nee:
+        # pool = sphere emitters then triangle emitters (ordinals
+        # n_em..n_tot-1); mirrors models/physical.py's tri_nee tables
+        n_tot = n_em + n_em_t
+        n_tot_f = n_tot.astype(jnp.float32)
+        has_em_t = n_em_t > 0
     zero = jnp.zeros((th, tw), jnp.float32)
     ones = jnp.ones((th, tw), jnp.float32)
 
@@ -213,6 +221,13 @@ def make_physical_shading(
         # and the emitter was light-sampleable (models/physical.py:117-125).
         if nee:
             nee_counted = (prevd > 0.0) & (sphm > 0.0) & (est > 0.0) & has_em
+            if tri_nee:
+                # sampled triangles are single-counted too (core parity:
+                # models/physical.py's tri_nee nee_counted extension)
+                nee_counted = nee_counted | (
+                    (prevd > 0.0) & hitm & (sphm == 0.0) & (est > 0.0)
+                    & has_em_t
+                )
         else:
             nee_counted = jnp.zeros((th, tw), bool)
         ar = ar + jnp.where(nee_counted, 0.0, tr * em_r)
@@ -288,9 +303,14 @@ def make_physical_shading(
         soz = pz + offs * nz
 
         if nee:
-            # pick the k-th emissive sphere, uniform among emitters
-            kf = jnp.floor(u_pick * n_em_f).astype(jnp.int32)
-            kk = jnp.clip(kf, 0, jnp.maximum(n_em - 1, 0))
+            # pick the k-th emitter, uniform over the pool (spheres,
+            # then — with tri_nee — triangles; models/physical.py parity)
+            if tri_nee:
+                kf = jnp.floor(u_pick * n_tot_f).astype(jnp.int32)
+                kk = jnp.clip(kf, 0, jnp.maximum(n_tot - 1, 0))
+            else:
+                kf = jnp.floor(u_pick * n_em_f).astype(jnp.int32)
+                kk = jnp.clip(kf, 0, jnp.maximum(n_em - 1, 0))
             kk_ord = kk  # emitter ordinal, stored for the backward's
             # per-emitter geometry accumulation
             # e_idx = #{i : em_cum[i] <= k} (searchsorted-left)
@@ -371,17 +391,112 @@ def make_physical_shading(
             t_e = jnp.where(te1 >= 0.0, te1, jnp.where(te2 >= 0.0, te2, fk._INF))
             t_e = jnp.where(vale, t_e, fk._INF)
 
+            if tri_nee:
+                # triangle-emitter candidate from the SAME v1/v2 draws
+                # (uniform-by-area barycentric, area pdf -> solid angle;
+                # mirrors models/physical.py's tri_nee branch op-for-op)
+                kt = jnp.clip(kk - n_em, 0, jnp.maximum(n_em_t - 1, 0))
+                is_tri = (kk >= n_em) & has_em_t
+                t_idx = jnp.zeros((th, tw), jnp.int32)
+
+                def tcum_body(i, e):
+                    return e + jnp.where(tri_cum[i, 0] <= kt, 1, 0)
+
+                t_idx = jax.lax.fori_loop(0, n_tri, tcum_body, t_idx)
+                t_idx = jnp.clip(t_idx, 0, max(n_tri - 1, 0))
+
+                tv = [zero] * 9
+                tnx = zero; tny = zero; tnz = zero
+                tar = zero
+                tlr = zero; tlg = zero; tlb = zero
+                tmat = jnp.zeros((th, tw), jnp.int32)
+
+                def tfetch(i, c):
+                    tv, tnx, tny, tnz, tar, tlr, tlg, tlb, tmat = c
+                    msk = t_idx == i
+                    tv = tuple(
+                        jnp.where(msk, src[i, ax], tv[j * 3 + ax])
+                        for j, src in enumerate((tri_v0, tri_v1, tri_v2))
+                        for ax in range(3)
+                    )
+                    return (
+                        tv,
+                        jnp.where(msk, tri_n[i, 0], tnx),
+                        jnp.where(msk, tri_n[i, 1], tny),
+                        jnp.where(msk, tri_n[i, 2], tnz),
+                        jnp.where(msk, tri_area[i, 0], tar),
+                        jnp.where(msk, le_tri[i, 0], tlr),
+                        jnp.where(msk, le_tri[i, 1], tlg),
+                        jnp.where(msk, le_tri[i, 2], tlb),
+                        jnp.where(msk, tri_m[i, 0], tmat),
+                    )
+
+                (tv, tnx, tny, tnz, tar, tlr, tlg, tlb, tmat) = (
+                    jax.lax.fori_loop(
+                        0, n_tri, tfetch,
+                        (tuple(tv), tnx, tny, tnz, tar, tlr, tlg, tlb,
+                         tmat),
+                    )
+                )
+                su = jnp.sqrt(v1)
+                b1c = su * (1.0 - v2)
+                b2c = su * v2
+                b0c = 1.0 - su
+                qx = b0c * tv[0] + b1c * tv[3] + b2c * tv[6]
+                qy = b0c * tv[1] + b1c * tv[4] + b2c * tv[7]
+                qz = b0c * tv[2] + b1c * tv[5] + b2c * tv[8]
+                dqx = qx - sox
+                dqy = qy - soy
+                dqz = qz - soz
+                d2t = dqx * dqx + dqy * dqy + dqz * dqz
+                dist_t = jnp.sqrt(jnp.maximum(d2t, 1e-12))
+                otx = dqx / dist_t
+                oty = dqy / dist_t
+                otz = dqz / dist_t
+                cos_l = jnp.abs(tnx * otx + tny * oty + tnz * otz)
+                w_geom_t = tar * cos_l / jnp.maximum(d2t, 1e-12)
+                itf = is_tri
+                omx = jnp.where(itf, otx, omx)
+                omy = jnp.where(itf, oty, omy)
+                omz = jnp.where(itf, otz, omz)
+                cos_surf = jnp.where(
+                    itf, nx * otx + ny * oty + nz * otz, cos_surf
+                )
+                t_e = jnp.where(itf, dist_t, t_e)
+                ler = jnp.where(itf, tlr, ler)
+                leg = jnp.where(itf, tlg, leg)
+                leb = jnp.where(itf, tlb, leb)
+                emat = jnp.where(itf, tmat, emat)
+                # tri picks carry no sphere-geometry cotangent: ordinal
+                # -1 never matches any tracked k in the jgeo/geo loops
+                kk_ord = jnp.where(itf, jnp.int32(-1), kk_ord)
+
             s_bt = closest_t(sox, soy, soz, omx, omy, omz)
             visible = (
                 (s_bt < fk._INF)
                 & (s_bt >= t_e * (1.0 - 1e-3) - 1e-4)
                 & (t_e < fk._INF)
             )
-            valid = (
-                hitm & choose_diff & has_em & outside
-                & (cos_surf > 0.0) & visible
-            )
-            w = cos_surf / pdf_omega * n_em_f
+            if tri_nee:
+                # and/or form, not jnp.where: Mosaic cannot select
+                # between i1 vectors (lowers to an unsupported i8->i1
+                # trunc); boolean & / | compile fine
+                branch_ok = (is_tri & (cos_l > 1e-6)) | (
+                    ~is_tri & outside
+                )
+                valid = (
+                    hitm & choose_diff & (n_tot > 0) & branch_ok
+                    & (cos_surf > 0.0) & visible
+                )
+                w = jnp.where(
+                    is_tri, cos_surf * w_geom_t, cos_surf / pdf_omega
+                ) * n_tot_f
+            else:
+                valid = (
+                    hitm & choose_diff & has_em & outside
+                    & (cos_surf > 0.0) & visible
+                )
+                w = cos_surf / pdf_omega * n_em_f
             ar = ar + jnp.where(valid, tr * alb_r * _INV_PI * ler * w, 0.0)
             ag = ag + jnp.where(valid, tg * alb_g * _INV_PI * leg * w, 0.0)
             ab = ab + jnp.where(valid, tb * alb_b * _INV_PI * leb * w, 0.0)
@@ -541,13 +656,17 @@ def _phys_kernel(
     m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
     em_cum,  # (S, 1) int32 cumulative count of emissive spheres
     le_sph,  # (S, 3) f32 premultiplied emitter radiance (eco * est)
+    tri_cum,  # (T, 1) int32 cumulative count of emissive triangles
+    le_tri,  # (T, 3) f32 premultiplied triangle radiance
+    tri_area,  # (T, 1) f32 triangle areas
     par_f,
-    par_i,  # (1, 4) int32: seed, sample_offset, row_start, n_em
+    par_i,  # (1, 5) int32: seed, sample_offset, row_start, n_em, n_em_t
     out_ref,  # (3, TH, TW) VMEM
     *maybe_cnt,  # with count_rounds: (1, 1) SMEM i32 executed-round counter
     th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee,
     count_rounds=False,
     early_exit="once",
+    tri_nee=False,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -563,6 +682,7 @@ def _phys_kernel(
     seed = par_i[0, 0].astype(jnp.uint32)
     sample_offset = par_i[0, 1]
     n_em = par_i[0, 3]
+    n_em_t = par_i[0, 4]
 
     pix, ray_dirs = _camera_setup(par_f, par_i, th, tw, ti, tj)
     zero = jnp.zeros((th, tw), jnp.float32)
@@ -573,7 +693,9 @@ def _phys_kernel(
     bounce = make_physical_shading(
         sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
         tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph,
-        sky, th, tw, n_sph, n_tri, n_mat, n_em, nee,
+        tri_cum, le_tri, tri_area,
+        sky, th, tw, n_sph, n_tri, n_mat, n_em, n_em_t, nee,
+        tri_nee=tri_nee,
     )
 
     cam_ox = jnp.full((th, tw), cox)
@@ -691,7 +813,7 @@ def _phys_bwd_kernel(
     sph_c, sph_r, sph_m, sph_a,
     tri_v0, tri_v1, tri_v2, tri_n, tri_m, tri_a,
     m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
-    em_cum, le_sph, par_f, par_i,
+    em_cum, le_sph, tri_cum, le_tri, tri_area, par_f, par_i,
     g_ref,  # (3, TH, TW) cotangent of the radiance image (mean over spp)
     out_ref,  # (M+1, 8) accumulated cotangents; row M = sky (cols 0..2)
     out_geo,  # (max(K,1), 4) emitter-ordinal geometry cotangents
@@ -712,6 +834,7 @@ def _phys_bwd_kernel(
     geo_acc,  # (max(K,1), 4, TH, TW) per-emitter-ordinal geometry planes
     *,
     th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee, n_em_cap,
+    tri_nee=False,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -721,6 +844,7 @@ def _phys_bwd_kernel(
     seed = par_i[0, 0].astype(jnp.uint32)
     sample_offset = par_i[0, 1]
     n_em = par_i[0, 3]
+    n_em_t = par_i[0, 4]
 
     pix, ray_dirs = _camera_setup(par_f, par_i, th, tw, ti, tj)
     zero = jnp.zeros((th, tw), jnp.float32)
@@ -731,7 +855,9 @@ def _phys_bwd_kernel(
     bounce = make_physical_shading(
         sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
         tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph,
-        (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat, n_em, nee,
+        tri_cum, le_tri, tri_area,
+        (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat, n_em, n_em_t,
+        nee, tri_nee=tri_nee,
     )
 
     cam_ox = jnp.full((th, tw), cox)
@@ -1099,7 +1225,7 @@ def _phys_fused_kernel(
     sph_c, sph_r, sph_m, sph_a,
     tri_v0, tri_v1, tri_v2, tri_n, tri_m, tri_a,
     m_alb, m_eco, m_est, m_rgh, m_trn, m_ior,
-    em_cum, le_sph, par_f, par_i,
+    em_cum, le_sph, tri_cum, le_tri, tri_area, par_f, par_i,
     img_ref,  # (3, TH, TW) VMEM: primal radiance tile (mean over spp)
     j_ref,  # (9*M + 3, TH, TW) VMEM Jacobian planes; last 3 = sky K
     jgeo_ref,  # (max(12*K, 1), TH, TW) VMEM NEE emitter-geometry planes
@@ -1116,6 +1242,7 @@ def _phys_fused_kernel(
     *,
     th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee, n_em_cap,
     early_exit="once",
+    tri_nee=False,
 ):
     """Fused physical-tier primal + material/sky Jacobian (the physical
     analog of pallas_grad._fused_kernel; see that module's math). Per
@@ -1139,6 +1266,7 @@ def _phys_fused_kernel(
     seed = par_i[0, 0].astype(jnp.uint32)
     sample_offset = par_i[0, 1]
     n_em = par_i[0, 3]
+    n_em_t = par_i[0, 4]
 
     pix, ray_dirs = _camera_setup(par_f, par_i, th, tw, ti, tj)
     zero = jnp.zeros((th, tw), jnp.float32)
@@ -1149,8 +1277,9 @@ def _phys_fused_kernel(
     bounce = make_physical_shading(
         sph_c, sph_r, sph_m, sph_a, tri_v0, tri_v1, tri_v2, tri_n, tri_m,
         tri_a, m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph,
-        (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat, n_em, nee,
-        want_dw=n_em_cap > 0,
+        tri_cum, le_tri, tri_area,
+        (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat, n_em, n_em_t,
+        nee, want_dw=n_em_cap > 0, tri_nee=tri_nee,
     )
 
     cam_ox = jnp.full((th, tw), cox)
@@ -1439,7 +1568,7 @@ _PHYS_FUSED_BOUNCE_PLANES = 22
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret",
-        "rows", "jitter", "nee", "n_em_cap", "early_exit",
+        "rows", "jitter", "nee", "n_em_cap", "early_exit", "tri_nee",
     ),
 )
 def render_physical_pallas_fused(
@@ -1459,6 +1588,7 @@ def render_physical_pallas_fused(
     nee: bool = True,
     n_em_cap: int = 0,
     early_exit: bool | str = "once",
+    tri_nee: bool = False,
 ):
     """Physical-tier primal radiance (rows, W, 3) PLUS its per-pixel
     material/sky Jacobian (9*M+3, rows, W) in one kernel pass — the
@@ -1498,6 +1628,7 @@ def render_physical_pallas_fused(
         nee=nee,
         n_em_cap=n_em_cap,
         early_exit=early_exit,
+        tri_nee=tri_nee,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     operands = _phys_operands(
@@ -1678,18 +1809,43 @@ def _emitter_operands(scene: Scene):
     return em_cum[:, None], le_sph.astype(jnp.float32), n_em
 
 
+def _tri_emitter_operands(scene: Scene):
+    """Host-side emissive-TRIANGLE table for tri_nee: cumulative emitter
+    count (T,1) i32, premultiplied radiance (T,3) f32, area (T,1) f32,
+    live count. Mirrors models/physical.py's tri_nee tables (same mask,
+    same area formula) so the Pallas pick/sample matches core."""
+    mats = scene.materials
+    tri = scene.triangles
+    em_mask = tri.active & (mats.emission_strength[tri.material] > 0.0)
+    tri_cum = jnp.cumsum(em_mask.astype(jnp.int32))
+    n_em_t = jnp.sum(em_mask.astype(jnp.int32))
+    le_tri = (
+        mats.emission_color[tri.material]
+        * mats.emission_strength[tri.material][:, None]
+    )
+    cr = jnp.cross(tri.v1 - tri.v0, tri.v2 - tri.v0)
+    area = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(cr * cr, -1), 1e-20))
+    return (tri_cum[:, None], le_tri.astype(jnp.float32),
+            area.astype(jnp.float32)[:, None], n_em_t)
+
+
 def _phys_operands(scene, camera, height, width, seed, sample_offset,
                    row_start):
     em_cum, le_sph, n_em = _emitter_operands(scene)
+    tri_cum, le_tri, tri_area, n_em_t = _tri_emitter_operands(scene)
     par_i = jnp.stack(
         [jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
          jnp.asarray(sample_offset, jnp.int32),
          jnp.asarray(row_start, jnp.int32),
-         n_em.astype(jnp.int32)]
+         n_em.astype(jnp.int32),
+         n_em_t.astype(jnp.int32)]
     )[None, :]
     return fk._scene_operands(scene) + [
         em_cum,
         le_sph,
+        tri_cum,
+        le_tri,
+        tri_area,
         fk._camera_params(camera, scene, height, width),
         par_i,
     ]
@@ -1699,7 +1855,7 @@ def _phys_operands(scene, camera, height, width, seed, sample_offset,
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret", "rows",
-        "jitter", "nee", "count_rounds", "early_exit",
+        "jitter", "nee", "count_rounds", "early_exit", "tri_nee",
     ),
 )
 def render_physical_pallas(
@@ -1719,6 +1875,7 @@ def render_physical_pallas(
     nee: bool = True,
     count_rounds: bool = False,
     early_exit: bool | str = "once",
+    tri_nee: bool = False,
 ):
     """Physical-tier radiance image (rows, W, 3) f32 via the Pallas
     megakernel — the fast path for ``models/physical.render_physical``
@@ -1748,6 +1905,7 @@ def render_physical_pallas(
         nee=nee,
         count_rounds=count_rounds,
         early_exit=early_exit,
+        tri_nee=tri_nee,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     operands = _phys_operands(
@@ -1783,7 +1941,7 @@ def render_physical_pallas(
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret", "rows",
-        "jitter", "nee", "n_em_cap",
+        "jitter", "nee", "n_em_cap", "tri_nee",
     ),
 )
 def render_physical_pallas_bwd(
@@ -1803,6 +1961,7 @@ def render_physical_pallas_bwd(
     jitter: bool = True,
     nee: bool = True,
     n_em_cap: int | None = None,
+    tri_nee: bool = False,
 ):
     """Material/sky + NEE emitter-geometry VJP of
     :func:`render_physical_pallas` (two-pass replay + suffix sweep).
@@ -1853,6 +2012,7 @@ def render_physical_pallas_bwd(
         jitter=jitter,
         nee=nee,
         n_em_cap=n_em_cap,
+        tri_nee=tri_nee,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     g_planes = jnp.transpose(g.astype(jnp.float32), (2, 0, 1))
@@ -1922,21 +2082,21 @@ def render_physical_pallas_bwd(
 # -- differentiable wrapper: Pallas forward + Pallas material backward ------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _render_physical_pallas_vjp(
     scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-    geo_cap, seed, sample_offset, row_start,
+    geo_cap, tri_nee, seed, sample_offset, row_start,
 ):
     return render_physical_pallas(
         scene, camera, height, width, spp, max_bounces, seed,
         sample_offset=sample_offset, row_start=row_start, rows=rows,
-        jitter=jitter, nee=nee,
+        jitter=jitter, nee=nee, tri_nee=tri_nee,
     )
 
 
 def _vjp_fwd(
     scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-    geo_cap, seed, sample_offset, row_start,
+    geo_cap, tri_nee, seed, sample_offset, row_start,
 ):
     # One fused primal+Jacobian kernel either way (no ray traced twice);
     # geo_cap > 0 adds the in-bounce NEE emitter-geometry planes. The
@@ -1947,19 +2107,19 @@ def _vjp_fwd(
         out, jac, jgeo = render_physical_pallas_fused(
             scene, camera, height, width, spp, max_bounces, seed,
             sample_offset=sample_offset, row_start=row_start, rows=rows,
-            jitter=jitter, nee=nee, n_em_cap=geo_cap,
+            jitter=jitter, nee=nee, n_em_cap=geo_cap, tri_nee=tri_nee,
         )
     else:
         out, jac = render_physical_pallas_fused(
             scene, camera, height, width, spp, max_bounces, seed,
             sample_offset=sample_offset, row_start=row_start, rows=rows,
-            jitter=jitter, nee=nee,
+            jitter=jitter, nee=nee, tri_nee=tri_nee,
         )
     return out, (scene, camera, jac, jgeo)
 
 
 def _vjp_bwd(height, width, spp, max_bounces, rows, jitter, nee, geo_cap,
-             res, g):
+             tri_nee, res, g):
     scene, camera, jac, jgeo = res
     d_scene = contract_physical_jacobian(scene, jac, g, spp, jac_geo=jgeo)
     d_scene = fk._float0_ints(d_scene, scene)
@@ -1982,7 +2142,7 @@ def render_physical_pallas_vjp(
     scene, camera, height, width, spp, max_bounces, seed,
     sample_offset=0, row_start=0, rows: int | None = None,
     jitter: bool = True, nee: bool = True, geom: bool = True,
-    n_em_cap: int | None = None,
+    n_em_cap: int | None = None, tri_nee: bool = False,
 ):
     """Differentiable physical-tier fast render (fused primal+Jacobian).
 
@@ -2018,7 +2178,7 @@ def render_physical_pallas_vjp(
             geo_cap = min(geo_cap, n_live)
     return _render_physical_pallas_vjp(
         scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-        geo_cap,
+        geo_cap, tri_nee,
         jnp.asarray(seed, jnp.uint32),
         jnp.asarray(sample_offset, jnp.int32),
         jnp.asarray(row_start, jnp.int32),

@@ -59,9 +59,9 @@ class RenderConfig:
     # the output BMP with the accumulated image after every checkpoint
     # chunk, refining a single view in place.
     progressive: bool = False
-    # Triangle-emitter NEE (physical CORE engine only): add emissive
-    # triangles to the light-sampling pool (models/physical.py,
-    # tri_nee). The Pallas physical kernel ignores it (sphere-NEE only).
+    # Triangle-emitter NEE (physical engines): add emissive triangles
+    # to the light-sampling pool — variance reduction for triangle-lit
+    # scenes (models/physical.py and ops/pallas_physical.py, tri_nee).
     tri_nee: bool = False
 
 
