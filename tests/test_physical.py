@@ -404,3 +404,70 @@ def test_tri_nee_mixed_pool_unbiased():
     g = np.asarray(jax.grad(loss)(scene.materials.albedo))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 1e-8
+
+
+@pytest.mark.slow
+def test_fit_triangle_light_position_with_tri_nee():
+    """Inverse rendering of a TRIANGLE light's position: tri_nee gives
+    the estimator low-variance triangle-light sampling whose NEE
+    distance/cosine/area chain carries vertex gradients through core AD
+    (the fused Pallas geometry planes remain sphere-emitter-only by
+    contract). Measured: offset err 0.40 -> 0.07 in 60 adam steps."""
+    import optax
+
+    def scene_with_quad():
+        b = pt.SceneBuilder(sky_color=(0.0, 0.0, 0.0))
+        ground = b.add_material(albedo=(0.6, 0.55, 0.5), roughness=1.0)
+        lamp = b.add_material(albedo=(0.0, 0.0, 0.0),
+                              emission_color=(1.0, 0.9, 0.7),
+                              emission_strength=20.0)
+        ball = b.add_material(albedo=(0.7, 0.3, 0.3), roughness=1.0)
+        b.add_triangle(v0=(-40, -1, -40), v1=(40, -1, -40),
+                       v2=(40, -1, 40), material=ground)
+        b.add_triangle(v0=(-40, -1, -40), v1=(-40, -1, 40),
+                       v2=(40, -1, 40), material=ground)
+        b.add_triangle(v0=(-1.0, 3.0, 4.0), v1=(1.0, 3.0, 4.0),
+                       v2=(1.0, 3.0, 6.0), material=lamp)
+        b.add_triangle(v0=(-1.0, 3.0, 4.0), v1=(-1.0, 3.0, 6.0),
+                       v2=(1.0, 3.0, 6.0), material=lamp)
+        b.add_sphere(center=(0.0, -0.3, 5.0), radius=0.7, material=ball)
+        return b.build()
+
+    base = scene_with_quad()
+    h = w = 16
+    spp, bounces = 16, 2
+    target = render_physical(base, CAM, h, w, 64, bounces,
+                             jnp.uint32(1234), jitter=False, tri_nee=True)
+
+    def apply(offset):
+        d = jnp.zeros_like(base.triangles.v0).at[2:4].add(offset[None, :])
+        tr = dataclasses.replace(
+            base.triangles, v0=base.triangles.v0 + d,
+            v1=base.triangles.v1 + d, v2=base.triangles.v2 + d,
+        )
+        return dataclasses.replace(base, triangles=tr)
+
+    opt = optax.adam(0.05)
+    params = jnp.asarray([0.4, -0.35, 0.3], jnp.float32)
+    err0 = float(jnp.abs(params).max())
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, st, seed):
+        def loss(p):
+            img = render_physical(apply(p), CAM, h, w, spp, bounces, seed,
+                                  jitter=False, tri_nee=True)
+            return jnp.mean((img - target) ** 2)
+
+        l, g = jax.value_and_grad(loss)(p)
+        up, st = opt.update(g, st)
+        return optax.apply_updates(p, up), st, l
+
+    losses = []
+    for i in range(60):
+        params, state, l = step(params, state, jnp.uint32(i + 1))
+        losses.append(float(l))
+    err1 = float(jnp.abs(params).max())
+    # measured: loss 10.8 -> 2.4, err 0.40 -> 0.072
+    assert losses[-1] < losses[0] * 0.3, (losses[0], losses[-1])
+    assert err1 < err0 * 0.5, (err0, err1)
