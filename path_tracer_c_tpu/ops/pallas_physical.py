@@ -506,10 +506,18 @@ def make_physical_shading(
                 # per-channel factor F closes it; see the fused kernel).
                 # Same chain (by construction: _cone_w_chain) as the
                 # two-pass sweep's jax.vjp, evaluated on the live values.
+                # The pick-count factor is the POOL size: n_tot under
+                # tri_nee (the forward's sphere-pick weight at the
+                # `w = ... * n_tot_f` line above), n_em otherwise —
+                # passing n_em_f here under tri_nee mis-scales every
+                # sphere-emitter geometry cotangent by n_em/n_tot
+                # (ADVICE r4 high; regression-pinned in
+                # tests/test_pallas_physical.py).
+                pool_w_f = n_tot_f if tri_nee else n_em_f
                 _, w_vjp = jax.vjp(
                     lambda cx_, cy_, cz_, rr_: _cone_w_chain(
                         cx_, cy_, cz_, rr_, sox, soy, soz, nx, ny, nz,
-                        v1, cp_, sp_, n_em_f,
+                        v1, cp_, sp_, pool_w_f,
                     ),
                     cex, cey, cez, rer,
                 )
@@ -1124,7 +1132,12 @@ def _phys_bwd_kernel(
                 from . import rng as _rngmod
 
                 cphi, sphi = _rngmod.sincos_2pi(v2p)  # shared trig spec
+                # pool size, NOT just the sphere-emitter count: under
+                # tri_nee the forward weights sphere picks by n_tot
+                # (ADVICE r4 high — see make_physical_shading's pool_w_f)
                 n_em_f = par_i[0, 3].astype(jnp.float32)
+                if tri_nee:
+                    n_em_f = n_em_f + par_i[0, 4].astype(jnp.float32)
 
                 _, w_vjp = jax.vjp(
                     lambda cx, cy, cz, rr: _cone_w_chain(

@@ -721,6 +721,83 @@ def test_phys_tri_nee_fused_and_bwd_parity():
     assert np.isfinite(np.asarray(d_fused.spheres.center)).all()
 
 
+def _tri_nee_black_lights_scene():
+    """Mixed pool (1 sphere emitter + 2 triangle emitters, n_tot=3) with
+    BLACK-albedo lights: paths striking a light die, so core AD's light
+    geometry gradient reduces to exactly the NEE chain — tight AND
+    scale-sensitive (a pool-size factor error shows up as exactly 3x)."""
+    b = pt.SceneBuilder(sky_color=(0.04, 0.05, 0.07))
+    ground = b.add_material(albedo=(0.55, 0.5, 0.45), roughness=1.0)
+    lamp = b.add_material(albedo=(0.0, 0.0, 0.0),
+                          emission_color=(1.0, 0.85, 0.6),
+                          emission_strength=12.0)
+    tlamp = b.add_material(albedo=(0.0, 0.0, 0.0),
+                           emission_color=(0.7, 0.8, 1.0),
+                           emission_strength=9.0)
+    b.add_triangle(v0=(-50, -1, -50), v1=(50, -1, -50), v2=(50, -1, 50),
+                   material=ground)
+    b.add_triangle(v0=(-50, -1, -50), v1=(-50, -1, 50), v2=(50, -1, 50),
+                   material=ground)
+    b.add_triangle(v0=(-1.2, 3.0, 4.0), v1=(0.8, 3.0, 4.0),
+                   v2=(0.8, 3.0, 6.0), material=tlamp)
+    b.add_triangle(v0=(-1.2, 3.0, 4.0), v1=(-1.2, 3.0, 6.0),
+                   v2=(0.8, 3.0, 6.0), material=tlamp)
+    b.add_sphere(center=(1.6, 2.2, 4.5), radius=0.35, material=lamp)
+    return b.build()
+
+
+def test_phys_tri_nee_sphere_geometry_matches_core():
+    """ADVICE r4 high regression: under tri_nee the forward's sphere-pick
+    weight carries the POOL size n_tot, so both geometry-VJP chains must
+    pass n_tot into _cone_w_chain — the old code passed n_em, silently
+    mis-scaling every sphere-emitter center/radius cotangent by
+    n_em/n_tot (exactly 1/3 on this pool). Core AD is the scale anchor
+    the fused-vs-two-pass parity test cannot provide (both shared the
+    bug)."""
+    import dataclasses
+
+    import jax
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas_vjp,
+    )
+
+    scene = _tri_nee_black_lights_scene()
+    h, w, spp, bounces = 16, 128, 4, 3
+    target = render_physical(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(77), jitter=False,
+        tri_nee=True,
+    )
+    light = 0  # only sphere in the scene
+
+    def loss(fn, center, radius):
+        sc = dataclasses.replace(
+            scene,
+            spheres=dataclasses.replace(
+                scene.spheres,
+                center=scene.spheres.center.at[light].set(center),
+                radius=scene.spheres.radius.at[light].set(radius),
+            ),
+        )
+        img = fn(sc, CAM, h, w, spp, bounces, jnp.uint32(5))
+        return jnp.mean((img - target) ** 2)
+
+    fast = lambda *a: render_physical_pallas_vjp(*a, jitter=False,
+                                                 tri_nee=True)
+    core = lambda *a: render_physical(*a, jitter=False, tri_nee=True)
+    c0 = scene.spheres.center[light]
+    r0 = scene.spheres.radius[light]
+    gc_f, gr_f = jax.grad(lambda c, r: loss(fast, c, r), argnums=(0, 1))(
+        c0, r0)
+    gc_c, gr_c = jax.grad(lambda c, r: loss(core, c, r), argnums=(0, 1))(
+        c0, r0)
+    assert np.abs(np.asarray(gc_c)).max() > 1e-8
+    np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_c),
+                               rtol=5e-3, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_c),
+                               rtol=5e-3, atol=1e-9)
+
+
 def test_phys_vjp_wrapper_matches_core_grad():
     """grad through render_physical_pallas_vjp == grad through the core
     physical path, for a material-parameterized loss."""
