@@ -383,7 +383,7 @@ def cmd_fit(args):
 
     if fcfg.target:
         target = jnp.asarray(np.load(fcfg.target))
-    elif mode == "geometry":
+    elif mode in ("geometry", "roughness"):
         from ..models.physical import render_physical
 
         target = render_physical(
@@ -442,6 +442,38 @@ def cmd_fit(args):
             f"geometry fit ({engine}): {fcfg.steps} steps in "
             f"{time.time() - t0:.1f}s, loss {losses[0]:.3e} -> "
             f"{losses[-1]:.3e}, max light-center err {err:.4f}"
+        )
+        return
+
+    if mode == "roughness":
+        # Corrupt every material's roughness, then recover via the
+        # score-function estimator (rough_grad=True — core physical
+        # engine, the one path whose tangent carries d/d(roughness)).
+        init = dataclasses.replace(
+            true_scene,
+            materials=dataclasses.replace(
+                true_scene.materials,
+                roughness=jnp.full_like(
+                    true_scene.materials.roughness, 0.5
+                ),
+            ),
+        )
+        fitted, losses = diff.fit_materials(
+            init, target, camera, cfg.height, cfg.width, cfg.spp,
+            cfg.max_bounces, steps=fcfg.steps, lr=fcfg.lr, seed0=cfg.seed,
+            callback=lambda i, l: metrics.log("fit_step", step=i, loss=l),
+            checkpoint_path=fcfg.checkpoint_path or None,
+            checkpoint_every=fcfg.checkpoint_every,
+            engine="physical", rough_grad=True,
+        )
+        err = float(
+            jnp.abs(fitted.materials.roughness
+                    - true_scene.materials.roughness).max()
+        )
+        print(
+            f"roughness fit (physical, score-function): {fcfg.steps} "
+            f"steps in {time.time() - t0:.1f}s, loss {losses[0]:.3e} -> "
+            f"{losses[-1]:.3e}, max roughness err {err:.4f}"
         )
         return
 
@@ -555,10 +587,13 @@ def build_parser():
     common(f)
     f.add_argument("--steps", type=int)
     f.add_argument(
-        "--mode", choices=["materials", "geometry"], default="materials",
+        "--mode", choices=["materials", "geometry", "roughness"],
+        default="materials",
         help="materials: recover albedo+emission (config 4); geometry: "
              "recover the emissive light sphere's center via the physical "
-             "tier's NEE geometry gradients",
+             "tier's NEE geometry gradients; roughness: recover material "
+             "roughness via the score-function (rough_grad) estimator "
+             "on the core physical engine",
     )
     f.add_argument(
         "--checkpoint-path", dest="checkpoint_path",

@@ -24,15 +24,18 @@ same PCG streams as the core path, so interpreter-mode renders match
              + P_end[c]*sky[c]
 
 with ``P_b`` the albedo prefix product, ``E_b`` the hit emission,
-``w_b = cos_surf/pdf * n_em`` the NEE geometry weight. All *material*
+``w_b = cos_surf/pdf * n_pool`` the NEE geometry weight. All *material*
 dependence (albedo, emission, transparency via the ratio
 reparameterization, sky) is a prefix/suffix product structure, AND the
-NEE emitter-geometry dependence (the sampled emitter's center/radius
-through ``w_b``) is purely per-bounce-local, so the production VJP is
-ONE fused kernel (``render_physical_pallas_fused``) that emits the
-primal, the material/sky Jacobian planes (suffix sweep) and the
-emitter-geometry Jacobian planes (in-bounce, prefix-only) — the
-backward collapses to an XLA contraction. The two-pass replay+sweep
+NEE emitter-geometry dependence — the sampled SPHERE emitter's
+center/radius through the cone chain, and (``tri_nee``) the sampled
+TRIANGLE emitter's vertices through the area/cos/d² chain — is purely
+per-bounce-local, so the production VJP is ONE fused kernel
+(``render_physical_pallas_fused``) that emits the primal, the
+material/sky Jacobian planes (suffix sweep) and the emitter-geometry
+Jacobian planes (in-bounce, prefix-only; 12 per sphere ordinal up to
+``n_em_cap``, 27 per tri ordinal up to ``tri_em_cap``) — the backward
+collapses to an XLA contraction. The two-pass replay+sweep
 backward (``render_physical_pallas_bwd``) computes the same cotangents
 and is kept as the parity oracle. **Geometry contract**: cotangents
 carry only the NEE emitter chain; continuation terms (hit points and
@@ -110,6 +113,55 @@ def _cone_w_chain(cx, cy, cz, rr, sox, soy, soz, nxp, nyp, nzp, v1p,
     return cos_surf * jnp.maximum(_TWO_PI * (1.0 - cosmax), 1e-8) * n_em_f
 
 
+def _tri_w_chain(ax, ay, az, bx, by, bz, cx, cy, cz,
+                 sox, soy, soz, nxp, nyp, nzp, v1p, v2p, n_tot_f):
+    """The tri-NEE weight chain ``w = cos_surf * area*|cos_l|/d^2 * n_tot``
+    as a pure function of the sampled TRIANGLE emitter's nine vertex
+    components — value-identical to ``models/physical.py``'s tri_nee
+    branch (same barycentric draws, sqrt/clip guards, and normal/area
+    formulas ``cr = (v1-v0)x(v2-v0)``, ``2A = sqrt(max(|cr|^2,1e-20))``),
+    so a ``jax.vjp`` through it matches core AD's vertex gradient on the
+    NEE chain. The triangle twin of :func:`_cone_w_chain`: ONE
+    implementation, used by the fused kernel's in-bounce vertex Jacobian
+    (the per-bounce-local structure is identical to the sphere cone
+    chain — VERDICT r4 item 1)."""
+    su = jnp.sqrt(v1p)
+    b1 = su * (1.0 - v2p)
+    b2 = su * v2p
+    b0 = 1.0 - su
+    qx = b0 * ax + b1 * bx + b2 * cx
+    qy = b0 * ay + b1 * by + b2 * cy
+    qz = b0 * az + b1 * bz + b2 * cz
+    dqx = qx - sox
+    dqy = qy - soy
+    dqz = qz - soz
+    d2t = dqx * dqx + dqy * dqy + dqz * dqz
+    dist = jnp.sqrt(jnp.maximum(d2t, 1e-12))
+    otx = dqx / dist
+    oty = dqy / dist
+    otz = dqz / dist
+    e1x = bx - ax
+    e1y = by - ay
+    e1z = bz - az
+    e2x = cx - ax
+    e2y = cy - ay
+    e2z = cz - az
+    crx = e1y * e2z - e1z * e2y
+    cry = e1z * e2x - e1x * e2z
+    crz = e1x * e2y - e1y * e2x
+    two_area = jnp.sqrt(
+        jnp.maximum(crx * crx + cry * cry + crz * crz, 1e-20)
+    )
+    tnx = crx / two_area
+    tny = cry / two_area
+    tnz = crz / two_area
+    area = 0.5 * two_area
+    cos_l = jnp.abs(tnx * otx + tny * oty + tnz * otz)
+    w_geom = area * cos_l / jnp.maximum(d2t, 1e-12)
+    cos_surf = nxp * otx + nyp * oty + nzp * otz
+    return cos_surf * w_geom * n_tot_f
+
+
 def _onb(nx, ny, nz):
     """Branchless orthonormal basis (Duff et al. 2017) — plane-wise port
     of models/physical._onb."""
@@ -130,7 +182,7 @@ def make_physical_shading(
     m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph,
     tri_cum, le_tri, tri_area, sky,
     th, tw, n_sph, n_tri, n_mat, n_em, n_em_t, nee, want_dw=False,
-    tri_nee=False,
+    tri_nee=False, want_dwt=False,
 ):
     """Build the physical-tier ``bounce`` routine over SMEM scene refs.
 
@@ -144,6 +196,10 @@ def make_physical_shading(
     (th, tw) planes; termination is zero throughput; ``prevd`` (f32 0/1)
     is the diffuse-arrival flag for NEE single-counting.
     """
+    if want_dwt and not tri_nee:
+        raise ValueError("want_dwt (triangle-vertex Jacobian) requires "
+                         "tri_nee=True — the chain only exists in the "
+                         "tri-NEE estimator")
     sky_r, sky_g, sky_b = sky
     n_em_f = n_em.astype(jnp.float32)
     has_em = n_em > 0
@@ -470,6 +526,9 @@ def make_physical_shading(
                 # tri picks carry no sphere-geometry cotangent: ordinal
                 # -1 never matches any tracked k in the jgeo/geo loops
                 kk_ord = jnp.where(itf, jnp.int32(-1), kk_ord)
+                # ... and sphere picks carry no TRIANGLE-geometry
+                # cotangent: the tri-emitter ordinal plane is -1 there
+                kkt_ord = jnp.where(itf, kt, jnp.int32(-1))
 
             s_bt = closest_t(sox, soy, soz, omx, omy, omz)
             visible = (
@@ -524,6 +583,25 @@ def make_physical_shading(
                 dw = w_vjp(ones)
             else:
                 dw = None
+            if want_dwt:
+                # ∂w/∂(v0,v1,v2) of the sampled TRIANGLE emitter — the
+                # vertex twin of dw above, through the ONE shared
+                # _tri_w_chain. Same per-channel closure factor F.
+                # Sphere-pick lanes evaluate the chain on their fetched
+                # tri candidate (garbage but guarded — no NaN) and are
+                # masked out by kkt == -1 in the accumulation loops.
+                _, wt_vjp = jax.vjp(
+                    lambda a0, a1, a2, b0_, b1_, b2_, c0_, c1_, c2_: (
+                        _tri_w_chain(
+                            a0, a1, a2, b0_, b1_, b2_, c0_, c1_, c2_,
+                            sox, soy, soz, nx, ny, nz, v1, v2, n_tot_f,
+                        )
+                    ),
+                    *tv,
+                )
+                dwt = wt_vjp(ones)
+            else:
+                dwt = None
         else:
             valid = jnp.zeros((th, tw), bool)
             w = zero
@@ -531,23 +609,29 @@ def make_physical_shading(
             emat = jnp.zeros((th, tw), jnp.int32)
             e_idx = jnp.zeros((th, tw), jnp.int32)
             kk_ord = jnp.zeros((th, tw), jnp.int32)
+            kkt_ord = jnp.full((th, tw), -1, jnp.int32)
             dw = (zero, zero, zero, zero) if want_dw else None
+            dwt = (zero,) * 9 if want_dwt else None
 
         if store is not None:
             validf = jnp.where(valid, 1.0, 0.0)
             extra = {}
-            if want_dw:
+            if want_dw or want_dwt:
                 # per-channel closure factor of the geometry cotangent:
                 # dL/d(comp) = sum_c g_c * F_c * dw_comp, with
                 # F_c = valid * P_c * albedo_c * le_c / pi
                 extra = dict(
-                    dw=dw,
                     F=(
                         validf * P_r * alb_r * ler * _INV_PI,
                         validf * P_g * alb_g * leg * _INV_PI,
                         validf * P_b_ * alb_b * leb * _INV_PI,
                     ),
                 )
+                if want_dw:
+                    extra["dw"] = dw
+                if want_dwt:
+                    extra["dwt"] = dwt
+                    extra["kkt"] = kkt_ord
             store(
                 b,
                 dict(
@@ -1242,6 +1326,7 @@ def _phys_fused_kernel(
     img_ref,  # (3, TH, TW) VMEM: primal radiance tile (mean over spp)
     j_ref,  # (9*M + 3, TH, TW) VMEM Jacobian planes; last 3 = sky K
     jgeo_ref,  # (max(12*K, 1), TH, TW) VMEM NEE emitter-geometry planes
+    jtri_ref,  # (max(27*Kt, 1), TH, TW) VMEM tri-emitter VERTEX planes
     # scratch
     p_store,  # (B+1, 3, TH, TW) prefix throughput at Le time
     mk_store,  # (B+1, 4, TH, TW) masks: hit, miss, tir, addle
@@ -1256,6 +1341,7 @@ def _phys_fused_kernel(
     th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee, n_em_cap,
     early_exit="once",
     tri_nee=False,
+    tri_em_cap=0,
 ):
     """Fused physical-tier primal + material/sky Jacobian (the physical
     analog of pallas_grad._fused_kernel; see that module's math). Per
@@ -1293,6 +1379,7 @@ def _phys_fused_kernel(
         tri_cum, le_tri, tri_area,
         (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat, n_em, n_em_t,
         nee, want_dw=n_em_cap > 0, tri_nee=tri_nee,
+        want_dwt=tri_em_cap > 0,
     )
 
     cam_ox = jnp.full((th, tw), cox)
@@ -1321,6 +1408,12 @@ def _phys_fused_kernel(
         return 0
 
     jax.lax.fori_loop(0, max(12 * n_em_cap, 1), zero_geo, 0)
+
+    def zero_tri(k, _):
+        jtri_ref[k] = zero
+        return 0
+
+    jax.lax.fori_loop(0, max(27 * tri_em_cap, 1), zero_tri, 0)
 
     def store(b, info):
         P_r, P_g, P_b_ = info["P"]
@@ -1357,6 +1450,27 @@ def _phys_fused_kernel(
                 return 0
 
             jax.lax.fori_loop(0, n_em_cap, geo_body, 0)
+        if tri_em_cap:
+            # triangle-emitter VERTEX planes (VERDICT r5 item 1): same
+            # prefix-only structure as the sphere planes above — 27
+            # products + Kt masked RMW loops per bounce, no sweep work.
+            # Tri-pick lanes carry kk == -1 in the sphere loop and
+            # sphere-pick lanes carry kkt == -1 here, so the two plane
+            # families never double-count a lane.
+            dwt = info["dwt"]
+            Ft = info["F"]
+            kktp = info["kkt"]
+            prods_t = [Ft[c] * dcomp for dcomp in dwt for c in range(3)]
+
+            def tri_body(k, _):
+                mk_ = jnp.where(kktp == k, 1.0, 0.0)
+                for j in range(27):
+                    jtri_ref[k * 27 + j] = (
+                        jtri_ref[k * 27 + j] + mk_ * prods_t[j]
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, tri_em_cap, tri_body, 0)
 
     def sample_body(s, acc_img):
         acc_r, acc_g, acc_b = acc_img
@@ -1582,6 +1696,7 @@ _PHYS_FUSED_BOUNCE_PLANES = 22
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret",
         "rows", "jitter", "nee", "n_em_cap", "early_exit", "tri_nee",
+        "tri_em_cap",
     ),
 )
 def render_physical_pallas_fused(
@@ -1602,6 +1717,7 @@ def render_physical_pallas_fused(
     n_em_cap: int = 0,
     early_exit: bool | str = "once",
     tri_nee: bool = False,
+    tri_em_cap: int = 0,
 ):
     """Physical-tier primal radiance (rows, W, 3) PLUS its per-pixel
     material/sky Jacobian (9*M+3, rows, W) in one kernel pass — the
@@ -1610,18 +1726,22 @@ def render_physical_pallas_fused(
 
     ``n_em_cap > 0`` additionally emits the NEE emitter-geometry Jacobian
     (12*n_em_cap, rows, W) for the first ``n_em_cap`` emitter ordinals
-    (layout ``[k, comp(cx,cy,cz,r), channel]``) and the return becomes a
-    3-tuple ``(img, jac, jac_geo)``.
+    (layout ``[k, comp(cx,cy,cz,r), channel]``); ``tri_em_cap > 0``
+    (requires ``tri_nee``) emits the triangle-emitter VERTEX Jacobian
+    (27*tri_em_cap, rows, W; layout ``[k, comp(v0..v2 xyz), channel]``).
+    The return appends ``jac_geo`` then ``jac_tri`` for whichever caps
+    are nonzero.
 
     Residual footprint note: the Jacobian outputs live in HBM at
-    ``(9*n_mat + 3 + 12*n_em_cap) * rows * width * 4`` bytes — ~0.25 GB
-    for 15 materials + 1 tracked emitter at 1024^2. Size fit workloads
-    accordingly (the custom_vjp holds it from forward to backward)."""
+    ``(9*n_mat + 3 + 12*n_em_cap + 27*tri_em_cap) * rows * width * 4``
+    bytes — ~0.25 GB for 15 materials + 1 tracked emitter at 1024^2.
+    Size fit workloads accordingly (the custom_vjp holds it from forward
+    to backward)."""
     rows = height if rows is None else rows
     th, tw = _fit_tile(
         rows, width, tile, scene.num_materials, max_bounces,
         bounce_planes=_PHYS_FUSED_BOUNCE_PLANES, mat_planes=9,
-        fixed_planes=6 + 12 * n_em_cap,
+        fixed_planes=6 + 12 * n_em_cap + 27 * tri_em_cap,
     )
     interpret = interpret or jax.default_backend() != "tpu"
 
@@ -1629,6 +1749,7 @@ def render_physical_pallas_fused(
     bplus = max_bounces + 1
     n_j = 9 * n_mat + 3
     n_geo = max(12 * n_em_cap, 1)
+    n_tri_j = max(27 * tri_em_cap, 1)
     kern = partial(
         _phys_fused_kernel,
         th=th, tw=tw,
@@ -1642,12 +1763,13 @@ def render_physical_pallas_fused(
         n_em_cap=n_em_cap,
         early_exit=early_exit,
         tri_nee=tri_nee,
+        tri_em_cap=tri_em_cap,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     operands = _phys_operands(
         scene, camera, height, width, seed, sample_offset, row_start
     )
-    img, jac, jgeo = pl.pallas_call(
+    img, jac, jgeo, jtri = pl.pallas_call(
         kern,
         grid=(rows // th, width // tw),
         in_specs=[smem() for _ in operands],
@@ -1658,11 +1780,14 @@ def render_physical_pallas_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_geo, th, tw), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tri_j, th, tw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((3, rows, width), jnp.float32),
             jax.ShapeDtypeStruct((n_j, rows, width), jnp.float32),
             jax.ShapeDtypeStruct((n_geo, rows, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_tri_j, rows, width), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # p_store
@@ -1678,9 +1803,12 @@ def render_physical_pallas_fused(
         interpret=interpret,
     )(*operands)
     img = jnp.transpose(img, (1, 2, 0))
+    out = (img, jac)
     if n_em_cap:
-        return img, jac, jgeo
-    return img, jac
+        out = out + (jgeo,)
+    if tri_em_cap:
+        out = out + (jtri,)
+    return out
 
 
 def _scatter_emitter_geometry(scene: Scene, geo, n_em_cap: int):
@@ -1709,10 +1837,36 @@ def _scatter_emitter_geometry(scene: Scene, geo, n_em_cap: int):
     return dataclasses.replace(d_spheres, center=d_center, radius=d_radius)
 
 
+def _scatter_tri_emitter_geometry(scene: Scene, geo, tri_em_cap: int):
+    """Triangle cotangent pytree from per-tri-emitter-ordinal rows
+    ``geo`` ((>=tri_em_cap, 9): d_v0 xyz + d_v1 xyz + d_v2 xyz per
+    ordinal): scatter rows back onto their triangle indices, zeroing
+    rows beyond the live tri-emitter count. The vertex twin of
+    :func:`_scatter_emitter_geometry`."""
+    import dataclasses
+
+    d_tri = jax.tree_util.tree_map(jnp.zeros_like, scene.triangles)
+    if not tri_em_cap:
+        return d_tri
+    tri_cum, _, _, n_em_t = _tri_emitter_operands(scene)
+    ks = jnp.arange(tri_em_cap, dtype=jnp.int32)
+    t_idx = jnp.clip(
+        jnp.searchsorted(tri_cum[:, 0], ks + 1, side="left"),
+        0, scene.num_triangles - 1,
+    )
+    live = (ks < n_em_t)[:, None]
+    rows = jnp.where(live, geo[:tri_em_cap], 0.0)
+    d_v0 = jnp.zeros_like(scene.triangles.v0).at[t_idx].add(rows[:, 0:3])
+    d_v1 = jnp.zeros_like(scene.triangles.v1).at[t_idx].add(rows[:, 3:6])
+    d_v2 = jnp.zeros_like(scene.triangles.v2).at[t_idx].add(rows[:, 6:9])
+    return dataclasses.replace(d_tri, v0=d_v0, v1=d_v1, v2=d_v2)
+
+
 def contract_physical_jacobian(scene: Scene, jac, g, spp: int,
-                               jac_geo=None):
+                               jac_geo=None, jac_tri=None):
     """Scene cotangent pytree (materials + sky, plus NEE emitter geometry
-    when ``jac_geo`` is given) from the fused physical kernel's Jacobian
+    when ``jac_geo`` is given, plus tri-emitter vertex geometry when
+    ``jac_tri`` is given) from the fused physical kernel's Jacobian
     planes and the image cotangent g."""
     import dataclasses
 
@@ -1747,11 +1901,21 @@ def contract_physical_jacobian(scene: Scene, jac, g, spp: int,
         d_spheres = _scatter_emitter_geometry(scene, geo, n_em_cap)
     else:
         d_spheres = jax.tree_util.tree_map(zeros, scene.spheres)
+    if jac_tri is not None and jac_tri.shape[0] >= 27:
+        tri_em_cap = jac_tri.shape[0] // 27
+        jt = jac_tri[: 27 * tri_em_cap].reshape(
+            tri_em_cap, 9, 3, jac_tri.shape[1], jac_tri.shape[2]
+        )
+        geo_t = jnp.einsum("kqchw,chw->kq", jt, g_cp) / spp
+        d_triangles = _scatter_tri_emitter_geometry(scene, geo_t,
+                                                    tri_em_cap)
+    else:
+        d_triangles = jax.tree_util.tree_map(zeros, scene.triangles)
     return dataclasses.replace(
         scene,
         materials=d_mats,
         spheres=d_spheres,
-        triangles=jax.tree_util.tree_map(zeros, scene.triangles),
+        triangles=d_triangles,
         sky_color=d_sky,
     )
 
@@ -1778,6 +1942,49 @@ def live_emitter_count(scene: Scene):
     traced (see :func:`live_emitter_mask`)."""
     em = live_emitter_mask(scene)
     return None if em is None else int(em.sum())
+
+
+def live_tri_emitter_mask(scene: Scene):
+    """Host-side per-triangle live-emitter mask (active & emissive), or
+    ``None`` when the scene is traced — the triangle twin of
+    :func:`live_emitter_mask` and the ONE place the host-side tri-emitter
+    definition lives (mirrors ``_tri_emitter_operands``)."""
+    es = scene.materials.emission_strength
+    if isinstance(es, jax.core.Tracer) or isinstance(
+        scene.triangles.material, jax.core.Tracer
+    ):
+        return None
+    return np.asarray(scene.triangles.active) & (
+        np.asarray(es)[np.asarray(scene.triangles.material)] > 0.0
+    )
+
+
+def live_tri_emitter_count(scene: Scene):
+    """Host-side live triangle-emitter count, or ``None`` when traced."""
+    em = live_tri_emitter_mask(scene)
+    return None if em is None else int(em.sum())
+
+
+def _check_tri_emitter_cap(scene: Scene, tri_em_cap: int):
+    """Warn when the scene has more live TRIANGLE emitters than the
+    vertex-geometry cap tracks (ordinals >= tri_em_cap get exactly-zero
+    vertex cotangents by contract — the tri twin of
+    :func:`_check_emitter_cap`). Returns the live count (None when
+    traced)."""
+    import warnings
+
+    n_em_t = live_tri_emitter_count(scene)
+    if n_em_t is None:
+        return None
+    if n_em_t > tri_em_cap:
+        warnings.warn(
+            f"scene has {n_em_t} emissive triangles but the vertex "
+            f"cotangent cap is tri_em_cap={tri_em_cap}: tri-emitter "
+            f"ordinals >= {tri_em_cap} receive exactly-zero vertex "
+            "gradients. Pass a larger tri_em_cap to track them.",
+            stacklevel=3,
+        )
+    return n_em_t
 
 
 def _check_emitter_cap(scene: Scene, n_em_cap: int, raise_: bool = False):
@@ -2095,10 +2302,10 @@ def render_physical_pallas_bwd(
 # -- differentiable wrapper: Pallas forward + Pallas material backward ------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def _render_physical_pallas_vjp(
     scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-    geo_cap, tri_nee, seed, sample_offset, row_start,
+    geo_cap, tri_nee, tri_geo_cap, seed, sample_offset, row_start,
 ):
     return render_physical_pallas(
         scene, camera, height, width, spp, max_bounces, seed,
@@ -2109,32 +2316,31 @@ def _render_physical_pallas_vjp(
 
 def _vjp_fwd(
     scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-    geo_cap, tri_nee, seed, sample_offset, row_start,
+    geo_cap, tri_nee, tri_geo_cap, seed, sample_offset, row_start,
 ):
     # One fused primal+Jacobian kernel either way (no ray traced twice);
-    # geo_cap > 0 adds the in-bounce NEE emitter-geometry planes. The
-    # two-pass replay/sweep scheme (render_physical_pallas_bwd) is
-    # retired from this path and kept as the parity oracle.
-    jgeo = None
-    if geo_cap:
-        out, jac, jgeo = render_physical_pallas_fused(
-            scene, camera, height, width, spp, max_bounces, seed,
-            sample_offset=sample_offset, row_start=row_start, rows=rows,
-            jitter=jitter, nee=nee, n_em_cap=geo_cap, tri_nee=tri_nee,
-        )
-    else:
-        out, jac = render_physical_pallas_fused(
-            scene, camera, height, width, spp, max_bounces, seed,
-            sample_offset=sample_offset, row_start=row_start, rows=rows,
-            jitter=jitter, nee=nee, tri_nee=tri_nee,
-        )
-    return out, (scene, camera, jac, jgeo)
+    # geo_cap > 0 adds the in-bounce NEE emitter-geometry planes and
+    # tri_geo_cap > 0 the triangle-emitter vertex planes. The two-pass
+    # replay/sweep scheme (render_physical_pallas_bwd) is retired from
+    # this path and kept as the parity oracle.
+    out_all = render_physical_pallas_fused(
+        scene, camera, height, width, spp, max_bounces, seed,
+        sample_offset=sample_offset, row_start=row_start, rows=rows,
+        jitter=jitter, nee=nee, n_em_cap=geo_cap, tri_nee=tri_nee,
+        tri_em_cap=tri_geo_cap,
+    )
+    out, jac = out_all[0], out_all[1]
+    rest = list(out_all[2:])
+    jgeo = rest.pop(0) if geo_cap else None
+    jtri = rest.pop(0) if tri_geo_cap else None
+    return out, (scene, camera, jac, jgeo, jtri)
 
 
 def _vjp_bwd(height, width, spp, max_bounces, rows, jitter, nee, geo_cap,
-             tri_nee, res, g):
-    scene, camera, jac, jgeo = res
-    d_scene = contract_physical_jacobian(scene, jac, g, spp, jac_geo=jgeo)
+             tri_nee, tri_geo_cap, res, g):
+    scene, camera, jac, jgeo, jtri = res
+    d_scene = contract_physical_jacobian(scene, jac, g, spp, jac_geo=jgeo,
+                                         jac_tri=jtri)
     d_scene = fk._float0_ints(d_scene, scene)
     # Camera cotangents are ZERO BY CONTRACT — an approximation in this
     # tier: the reference tier's radiance really is piecewise-constant in
@@ -2156,26 +2362,31 @@ def render_physical_pallas_vjp(
     sample_offset=0, row_start=0, rows: int | None = None,
     jitter: bool = True, nee: bool = True, geom: bool = True,
     n_em_cap: int | None = None, tri_nee: bool = False,
+    tri_em_cap: int | None = None,
 ):
     """Differentiable physical-tier fast render (fused primal+Jacobian).
 
     Albedo, emission, transparency and sky cotangents match core AD in
     both modes. ``geom=True`` (default) also emits NEE emitter-geometry
-    cotangents (sampled emitter center/radius through the cone weight)
-    for the first ``n_em_cap`` emitter ordinals (default
-    ``min(num_spheres, 8)``; pass the scene's live emitter count for
-    exact coverage — more live emitters than the cap warns when the
-    scene is concrete). ``geom=False`` skips the geometry planes
-    (slightly cheaper; use for material-only fits and sharded material
-    training — grad/diff and parallel/render pass it automatically).
+    cotangents: sampled SPHERE emitter center/radius through the cone
+    weight for the first ``n_em_cap`` emitter ordinals (default
+    ``min(num_spheres, 8)``), and — with ``tri_nee=True`` — sampled
+    TRIANGLE emitter vertices through the area/cos/d^2 weight for the
+    first ``tri_em_cap`` tri-emitter ordinals (default
+    ``min(num_triangles, 8)``). Both caps clamp to the scene's live
+    emitter counts when concrete, and more live emitters than a cap
+    warns. ``geom=False`` skips all geometry planes (slightly cheaper;
+    use for material-only fits and sharded material training —
+    grad/diff and parallel/render pass it automatically).
 
     Contract vs core AD (tests/test_pallas_physical.py): geometry
-    cotangents carry ONLY the NEE emitter chain — continuation terms
+    cotangents carry ONLY the NEE emitter chains — continuation terms
     (hit points/normals of struck surfaces) and non-emitter geometry are
     zero; **camera cotangents are zero** even though the physical tier's
     NEE terms do vary continuously with the primary ray — a camera-pose
     fit through this wrapper would silently not move, so use core AD
-    (``models/physical.render_physical``) for camera fits.
+    (``models/physical.render_physical``) or the FD driver
+    (``grad/diff.fit_camera``) for camera fits.
     """
     rows = height if rows is None else rows
     if n_em_cap is None:
@@ -2189,9 +2400,16 @@ def render_physical_pallas_vjp(
             # O(rows*width) HBM residual + a masked RMW loop per
             # bounce) — clamp the cap down to the real count
             geo_cap = min(geo_cap, n_live)
+    if tri_em_cap is None:
+        tri_em_cap = min(scene.num_triangles, 8)
+    tri_geo_cap = int(tri_em_cap) if (geom and nee and tri_nee) else 0
+    if tri_geo_cap:
+        n_live_t = _check_tri_emitter_cap(scene, tri_geo_cap)
+        if n_live_t is not None:
+            tri_geo_cap = min(tri_geo_cap, n_live_t)
     return _render_physical_pallas_vjp(
         scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-        geo_cap, tri_nee,
+        geo_cap, tri_nee, tri_geo_cap,
         jnp.asarray(seed, jnp.uint32),
         jnp.asarray(sample_offset, jnp.int32),
         jnp.asarray(row_start, jnp.int32),

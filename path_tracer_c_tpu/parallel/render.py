@@ -63,6 +63,8 @@ def render_sharded(
     engine: str = "core",
     geom: bool = False,
     n_em_cap: int | None = None,
+    tri_nee: bool = False,
+    tri_em_cap: int | None = None,
 ):
     """Full-image radiance rendered across the mesh: (H, W, 3), sharded
     over rows on the ``tile`` axis.
@@ -77,10 +79,19 @@ def render_sharded(
     path, differentiable through the hand-written backward kernel — the
     gradient psum from shard_map's transpose overlaps with the other
     shards' backward work); ``engine="physical"`` runs the physical
-    BRDF/NEE tier per shard. RNG keys on global indices in every engine,
-    so all engines and any mesh shape agree with their unsharded renders.
+    BRDF/NEE tier per shard. ``tri_nee=True`` (physical engines only)
+    adds emissive triangles to the light-sampling pool per shard — the
+    302x-variance-reduction estimator is a first-class sharded
+    capability, bit-identical to its unsharded render like every other
+    engine flag. RNG keys on global indices in every engine, so all
+    engines and any mesh shape agree with their unsharded renders.
     """
     rows_local, spp_local = _check_divisible(height, spp, mesh)
+    if tri_nee and engine not in ("physical", "physical_pallas"):
+        raise ValueError(
+            f"tri_nee requires a physical engine, got engine={engine!r} "
+            "(the reference tier has no light-sampling pool)"
+        )
     if engine == "pallas":
         from ..ops.pallas_kernels import render_pallas_vjp
     elif engine == "physical":
@@ -145,6 +156,7 @@ def render_sharded(
                 row_start=ti * rows_local,
                 rows=rows_local,
                 vma_axes=vma,
+                tri_nee=tri_nee,
             )
         elif engine == "physical_pallas":
             img = render_physical_pallas_vjp(
@@ -164,6 +176,8 @@ def render_sharded(
                 # fused scheme makes geom=True nearly the same cost)
                 geom=geom,
                 n_em_cap=n_em_cap,
+                tri_nee=tri_nee,
+                tri_em_cap=tri_em_cap,
             )
         else:
             img = render_tile(
@@ -198,6 +212,8 @@ def make_train_step(
     engine: str = "core",
     geom: bool = False,
     n_em_cap: int | None = None,
+    tri_nee: bool = False,
+    tri_em_cap: int | None = None,
 ):
     """Build a jitted sharded inverse-rendering train step.
 
@@ -214,8 +230,9 @@ def make_train_step(
     ops/pallas_grad.py) — the fast multi-chip training path; XLA overlaps
     each shard's gradient psum with the remaining backward work.
     ``geom=True`` (physical_pallas engine) makes the step emit NEE
-    emitter-geometry cotangents for sharded geometry fits (see
-    render_sharded).
+    emitter-geometry cotangents for sharded geometry fits, and
+    ``tri_nee=True`` light-samples emissive triangles (with vertex
+    cotangents when geom=True — see render_sharded).
     """
     apply_params = param_fns
 
@@ -233,6 +250,8 @@ def make_train_step(
             engine=engine,
             geom=geom,
             n_em_cap=n_em_cap,
+            tri_nee=tri_nee,
+            tri_em_cap=tri_em_cap,
         )
         return jnp.mean((img - target) ** 2)
 

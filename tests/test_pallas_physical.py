@@ -441,6 +441,114 @@ def test_fit_geometry_fast_path_recovers_light():
     assert err1 < err0 * 0.5, (err0, err1)
 
 
+def test_fit_triangle_light_fast_path():
+    """TRIANGLE-light position recovery running ENTIRELY on the fused
+    physical Pallas kernel (fit_geometry(engine='physical_pallas',
+    triangle_indices=...)) — VERDICT r5 item 1's done-gate: the fast
+    path's tri-NEE vertex cotangents drive the same fit the core-AD
+    test (tests/test_physical.py::test_fit_triangle_light_position_
+    with_tri_nee) runs ~190x slower. Black-albedo lamp: the NEE chain
+    is the complete gradient."""
+    import dataclasses
+
+    import jax
+
+    from path_tracer_c_tpu.grad.diff import fit_geometry
+
+    b = pt.SceneBuilder(sky_color=(0.0, 0.0, 0.0))
+    ground = b.add_material(albedo=(0.6, 0.55, 0.5), roughness=1.0)
+    lamp = b.add_material(albedo=(0.0, 0.0, 0.0),
+                          emission_color=(1.0, 0.9, 0.7),
+                          emission_strength=20.0)
+    ball = b.add_material(albedo=(0.7, 0.3, 0.3), roughness=1.0)
+    b.add_triangle(v0=(-40, -1, -40), v1=(40, -1, -40), v2=(40, -1, 40),
+                   material=ground)
+    b.add_triangle(v0=(-40, -1, -40), v1=(-40, -1, 40), v2=(40, -1, 40),
+                   material=ground)
+    b.add_triangle(v0=(-1.0, 3.0, 4.0), v1=(1.0, 3.0, 4.0),
+                   v2=(1.0, 3.0, 6.0), material=lamp)
+    b.add_triangle(v0=(-1.0, 3.0, 4.0), v1=(-1.0, 3.0, 6.0),
+                   v2=(1.0, 3.0, 6.0), material=lamp)
+    b.add_sphere(center=(0.0, -0.3, 5.0), radius=0.7, material=ball)
+    true_scene = b.build()
+    h = w = 16
+    spp, bounces = 16, 2
+    target = render_physical(
+        true_scene, CAM, h, w, 64, bounces, jnp.uint32(1234),
+        jitter=False, tri_nee=True,
+    )
+    off = jnp.asarray([0.4, -0.35, 0.3], jnp.float32)
+    d = jnp.zeros_like(true_scene.triangles.v0).at[2:4].add(off[None, :])
+    init = dataclasses.replace(
+        true_scene,
+        triangles=dataclasses.replace(
+            true_scene.triangles,
+            v0=true_scene.triangles.v0 + d,
+            v1=true_scene.triangles.v1 + d,
+            v2=true_scene.triangles.v2 + d,
+        ),
+    )
+
+    # -- apples-to-apples re-run of the core test: same 3-dof shared
+    # offset, same hyperparameters, fused engine. The fused and core
+    # offset-gradients agree to every printed digit on this scene
+    # (measured), so the trajectory matches the core test's.
+    import optax
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas_vjp,
+    )
+
+    def apply_off(offset):
+        d = jnp.zeros_like(true_scene.triangles.v0).at[2:4].add(
+            offset[None, :]
+        )
+        tr = dataclasses.replace(
+            true_scene.triangles,
+            v0=true_scene.triangles.v0 + d,
+            v1=true_scene.triangles.v1 + d,
+            v2=true_scene.triangles.v2 + d,
+        )
+        return dataclasses.replace(true_scene, triangles=tr)
+
+    opt = optax.adam(0.05)
+    p = jnp.asarray([0.4, -0.35, 0.3], jnp.float32)
+    err0 = float(jnp.abs(p).max())
+    state = opt.init(p)
+
+    @jax.jit
+    def step(p, st, seed):
+        def loss(p):
+            img = render_physical_pallas_vjp(
+                apply_off(p), CAM, h, w, spp, bounces, seed,
+                jitter=False, tri_nee=True,
+            )
+            return jnp.mean((img - target) ** 2)
+
+        l, g = jax.value_and_grad(loss)(p)
+        up, st = opt.update(g, st)
+        return optax.apply_updates(p, up), st, l
+
+    losses = []
+    for i in range(60):
+        p, state, l = step(p, state, jnp.uint32(i + 1))
+        losses.append(float(l))
+    err1 = float(jnp.abs(p).max())
+    # measured (core twin: loss 10.8 -> 2.4, err 0.40 -> 0.072)
+    assert losses[-1] < losses[0] * 0.3, (losses[0], losses[-1])
+    assert err1 < err0 * 0.5, (err0, err1)
+
+    # -- driver rehearsal: the generic fit_geometry(triangle_indices=...)
+    # entry point (18 raw-vertex dof — harder conditioning than the
+    # shared offset, so the gate is descent, not convergence)
+    fitted, dlosses = fit_geometry(
+        init, target, CAM, h, w, spp, bounces,
+        sphere_indices=(), triangle_indices=(2, 3), steps=20, lr=0.05,
+        seed0=7, engine="physical_pallas",
+    )
+    assert dlosses[-1] < dlosses[0] * 0.85, (dlosses[0], dlosses[-1])
+
+
 def test_phys_fused_geometry_matches_two_pass_bwd():
     """The fused kernel's in-bounce NEE emitter-geometry Jacobian
     (contracted with g) == the two-pass replay/sweep backward's geometry
@@ -796,6 +904,106 @@ def test_phys_tri_nee_sphere_geometry_matches_core():
                                rtol=5e-3, atol=1e-9)
     np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_c),
                                rtol=5e-3, atol=1e-9)
+
+
+def test_phys_tri_vertex_geometry_matches_core():
+    """Triangle-emitter VERTEX cotangents (VERDICT r5 item 1): jax.grad
+    through the fused vjp wrapper reproduces core AD's vertex gradient
+    on the black-albedo-lights scene, where the tri-NEE chain IS the
+    whole core vertex gradient (paths striking a light die, so no
+    continuation terms). Measured rel err ~4e-7 on this scene."""
+    import dataclasses
+
+    import jax
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas_vjp,
+    )
+
+    scene = _tri_nee_black_lights_scene()
+    h, w, spp, bounces = 16, 128, 4, 3
+    target = render_physical(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(77), jitter=False,
+        tri_nee=True,
+    )
+    TRI = 2  # first lamp triangle (after the two ground triangles)
+
+    def loss(fn, v0, v1, v2):
+        sc = dataclasses.replace(
+            scene,
+            triangles=dataclasses.replace(
+                scene.triangles,
+                v0=scene.triangles.v0.at[TRI].set(v0),
+                v1=scene.triangles.v1.at[TRI].set(v1),
+                v2=scene.triangles.v2.at[TRI].set(v2),
+            ),
+        )
+        img = fn(sc, CAM, h, w, spp, bounces, jnp.uint32(5))
+        return jnp.mean((img - target) ** 2)
+
+    fast = lambda *a: render_physical_pallas_vjp(*a, jitter=False,
+                                                 tri_nee=True)
+    core = lambda *a: render_physical(*a, jitter=False, tri_nee=True)
+    args = (scene.triangles.v0[TRI], scene.triangles.v1[TRI],
+            scene.triangles.v2[TRI])
+    gf = jax.grad(lambda a, b, c: loss(fast, a, b, c),
+                  argnums=(0, 1, 2))(*args)
+    gc = jax.grad(lambda a, b, c: loss(core, a, b, c),
+                  argnums=(0, 1, 2))(*args)
+    den = np.abs(
+        np.concatenate([np.ravel(np.asarray(x)) for x in gc])
+    ).max()
+    assert den > 1e-8, "core vertex grad unexpectedly zero"
+    for f, c in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(c),
+                                   rtol=5e-3, atol=den * 1e-4)
+
+
+def test_phys_tri_vertex_cap_warns_and_geom_off_zeros():
+    """tri_em_cap smaller than the live tri-emitter count warns; with
+    geom=False (or tri_nee=False) triangle cotangents are exactly
+    zero."""
+    import jax
+    import warnings
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas_vjp,
+    )
+
+    scene = _tri_nee_black_lights_scene()  # 2 live tri emitters
+    h, w, spp, bounces = 8, 128, 2, 2
+
+    def vloss(v0, tri_nee=True, geom=True, **kw):
+        import dataclasses
+
+        sc = dataclasses.replace(
+            scene,
+            triangles=dataclasses.replace(
+                scene.triangles, v0=scene.triangles.v0.at[2].set(v0)
+            ),
+        )
+        return jnp.mean(render_physical_pallas_vjp(
+            sc, CAM, h, w, spp, bounces, jnp.uint32(3), jitter=False,
+            tri_nee=tri_nee, geom=geom, **kw,
+        ))
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        g1 = jax.grad(lambda v: vloss(v, tri_em_cap=1))(
+            scene.triangles.v0[2]
+        )
+        assert any("tri_em_cap=1" in str(r.message) for r in rec), (
+            [str(r.message) for r in rec]
+        )
+    assert np.isfinite(np.asarray(g1)).all()
+    g_off = jax.grad(lambda v: vloss(v, geom=False))(
+        scene.triangles.v0[2]
+    )
+    assert not np.asarray(g_off).any()
+    g_no_tri_nee = jax.grad(lambda v: vloss(v, tri_nee=False))(
+        scene.triangles.v0[2]
+    )
+    assert not np.asarray(g_no_tri_nee).any()
 
 
 def test_phys_vjp_wrapper_matches_core_grad():
