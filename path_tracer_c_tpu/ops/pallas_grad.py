@@ -93,19 +93,27 @@ def _fused_kernel(
     par_f, par_i,
     img_ref,  # (3, TH, TW) VMEM: primal radiance tile (mean over spp)
     j_ref,  # (9*M + 3, TH, TW) VMEM: Jacobian planes; last 3 = sky K
-    # scratch
-    p_store,  # (B+1, 3, TH, TW) prefix throughput at Le time
-    mk_store,  # (B+1, 3, TH, TW) masks: hit, miss, tir (f32 0/1)
-    mat_store,  # (B+1, TH, TW) i32 material index
-    alb_store,  # (B+1, 3, TH, TW) hit material's albedo
-    le_store,  # (B+1, 3, TH, TW) hit material's emission (eco * est)
-    dr_store,  # (B+1, TH, TW) transparency ratio derivative
-    *,
+    # with count_rounds: a (1, 1) SMEM executed-round counter, then
+    # scratch: p_store (B+1,3) prefix throughput, mk_store (B+1,3)
+    # hit/miss/tir masks, mat_store (B+1) i32, alb_store (B+1,3),
+    # le_store (B+1,3), dr_store (B+1) transparency ratio derivative
+    *rest,
     th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, mat_skip,
     early_exit="once",
+    count_rounds=False,
 ):
+    if count_rounds:
+        (cnt_ref, p_store, mk_store, mat_store, alb_store, le_store,
+         dr_store) = rest
+    else:
+        (p_store, mk_store, mat_store, alb_store, le_store,
+         dr_store) = rest
     ti = pl.program_id(0)
     tj = pl.program_id(1)
+    if count_rounds:
+        @pl.when((ti == 0) & (tj == 0))
+        def _():
+            cnt_ref[0, 0] = jnp.int32(0)
 
     tan2 = par_f[0, 0]
     aspect = par_f[0, 1]
@@ -164,7 +172,7 @@ def _fused_kernel(
     tile_gate = early_exit == "once" and not jitter
 
     def sample_body(s, acc_img):
-        acc_r, acc_g, acc_b = acc_img
+        acc_r, acc_g, acc_b = acc_img[:3]
         sample = (s + sample_offset).astype(jnp.uint32)
         st = (
             pix * fk._u32(0x9E3779B9)
@@ -473,8 +481,13 @@ def _fused_kernel(
               jnp.full((th, tw), sky_b))
         jax.lax.fori_loop(max_bounces + 1 - bend, max_bounces + 1,
                           bwd_body, T0)
+        if count_rounds:
+            return (acc_r, acc_g, acc_b, acc_img[3] + bend)
         return (acc_r, acc_g, acc_b)
 
+    acc0 = (zero, zero, zero) + (
+        (jnp.int32(0),) if count_rounds else ()
+    )
     if tile_gate:
         # Whole-tile sky gate (pallas_kernels._kernel): all primaries
         # miss -> every sample's primal is exactly sky and the ONLY
@@ -492,22 +505,33 @@ def _fused_kernel(
                 j_ref[sky_base + c] = j_ref[sky_base + c] + sppf * ones
 
             def sbody(s, a):
-                return (a[0] + sky_r, a[1] + sky_g, a[2] + sky_b)
+                # gated sky tiles report 0 executed rounds (same
+                # convention as the forward kernels' counter)
+                out = (a[0] + sky_r, a[1] + sky_g, a[2] + sky_b)
+                return out + ((a[3],) if count_rounds else ())
 
-            return jax.lax.fori_loop(0, spp, sbody, (zero, zero, zero))
+            return jax.lax.fori_loop(0, spp, sbody, acc0)
 
         acc = jax.lax.cond(
             tile_alive,
-            lambda: jax.lax.fori_loop(0, spp, sample_body,
-                                      (zero, zero, zero)),
+            lambda: jax.lax.fori_loop(0, spp, sample_body, acc0),
             run_sky,
         )
     else:
-        acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
+        acc = jax.lax.fori_loop(0, spp, sample_body, acc0)
     inv = jnp.float32(1.0 / spp)
     img_ref[0] = acc[0] * inv
     img_ref[1] = acc[1] * inv
     img_ref[2] = acc[2] * inv
+    if count_rounds:
+        cnt_ref[0, 0] = cnt_ref[0, 0] + acc[3]
+
+
+def fused_tile(scene, rows, width, max_bounces, tile=BWD_TILE):
+    """The (th, tw) kernel tile render_pallas_fused will pick for this
+    workload — the executed-round counter's rays-per-round factor
+    (bench.py converts counts to executed rays with it)."""
+    return _fit_tile(rows, width, tile, scene.num_materials, max_bounces)
 
 
 def _fit_tile(rows, width, tile, n_mat, max_bounces,
@@ -552,7 +576,7 @@ def _fit_tile(rows, width, tile, n_mat, max_bounces,
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret",
-        "rows", "jitter", "mat_skip", "early_exit",
+        "rows", "jitter", "mat_skip", "early_exit", "count_rounds",
     ),
 )
 def render_pallas_fused(
@@ -571,9 +595,13 @@ def render_pallas_fused(
     jitter: bool = False,
     mat_skip: bool = False,
     early_exit: bool | str = "once",
+    count_rounds: bool = False,
 ):
     """Primal radiance image (rows, W, 3) PLUS its per-pixel material
     Jacobian (9*M+3, rows, W) in one kernel pass (module docstring).
+    ``count_rounds=True`` appends the executed bounce-round total (the
+    replay loop's rounds — the denominator for executed-basis SoL) to
+    the return: ``(img, jac, executed_rounds)``.
 
     The Jacobian output is an O(n_mat * rows * width) HBM array —
     ``(9*n_mat + 3) * rows * width * 4`` bytes (~0.5 GB at 1024^2 with
@@ -603,6 +631,7 @@ def render_pallas_fused(
         jitter=jitter,
         mat_skip=mat_skip,
         early_exit=early_exit,
+        count_rounds=count_rounds,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     par_i = jnp.stack(
@@ -615,20 +644,26 @@ def render_pallas_fused(
         fk._camera_params(camera, scene, height, width),
         par_i,
     ]
-    img, jac = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_j, th, tw), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((3, rows, width), jnp.float32),
+        jax.ShapeDtypeStruct((n_j, rows, width), jnp.float32),
+    ]
+    if count_rounds:
+        out_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+    out = pl.pallas_call(
         kern,
         grid=(rows // th, width // tw),
         in_specs=[smem() for _ in operands],
-        out_specs=[
-            pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_j, th, tw), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((3, rows, width), jnp.float32),
-            jax.ShapeDtypeStruct((n_j, rows, width), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # p_store
             pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # mk_store
@@ -639,6 +674,10 @@ def render_pallas_fused(
         ],
         interpret=interpret,
     )(*operands)
+    if count_rounds:
+        img, jac, cnt = out
+        return jnp.transpose(img, (1, 2, 0)), jac, cnt[0, 0]
+    img, jac = out
     return jnp.transpose(img, (1, 2, 0)), jac
 
 

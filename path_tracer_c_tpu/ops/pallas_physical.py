@@ -1327,21 +1327,18 @@ def _phys_fused_kernel(
     j_ref,  # (9*M + 3, TH, TW) VMEM Jacobian planes; last 3 = sky K
     jgeo_ref,  # (max(12*K, 1), TH, TW) VMEM NEE emitter-geometry planes
     jtri_ref,  # (max(27*Kt, 1), TH, TW) VMEM tri-emitter VERTEX planes
-    # scratch
-    p_store,  # (B+1, 3, TH, TW) prefix throughput at Le time
-    mk_store,  # (B+1, 4, TH, TW) masks: hit, miss, tir, addle
-    alb_store,  # (B+1, 3, TH, TW) hit material's albedo
-    e_store,  # (B+1, 3, TH, TW) hit material's emission (eco * est)
-    nee_store,  # (B+1, 3, TH, TW) valid * le * w / pi
-    emw_store,  # (B+1, 3, TH, TW) valid * P * albedo * w / pi
-    dr_store,  # (B+1, TH, TW) transparency ratio derivative
-    mat_store,  # (B+1, TH, TW) i32 hit material
-    emat_store,  # (B+1, TH, TW) i32 sampled-emitter material
-    *,
+    # with count_rounds: a (1, 1) SMEM executed-round counter, then
+    # scratch: p_store (B+1,3) prefix throughput at Le time, mk_store
+    # (B+1,4) hit/miss/tir/addle masks, alb_store (B+1,3) hit albedo,
+    # e_store (B+1,3) hit emission, nee_store (B+1,3) valid*le*w/pi,
+    # emw_store (B+1,3) valid*P*albedo*w/pi, dr_store (B+1)
+    # transparency ratio derivative, mat_store/emat_store (B+1) i32
+    *rest,
     th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee, n_em_cap,
     early_exit="once",
     tri_nee=False,
     tri_em_cap=0,
+    count_rounds=False,
 ):
     """Fused physical-tier primal + material/sky Jacobian (the physical
     analog of pallas_grad._fused_kernel; see that module's math). Per
@@ -1358,8 +1355,18 @@ def _phys_fused_kernel(
     the bounce (no replay, no suffix dependence) and the backward stays
     a contraction. Same contract as the two-pass backward: emitter
     ordinals >= n_em_cap and non-emitter geometry get zeros."""
+    if count_rounds:
+        (cnt_ref, p_store, mk_store, alb_store, e_store, nee_store,
+         emw_store, dr_store, mat_store, emat_store) = rest
+    else:
+        (p_store, mk_store, alb_store, e_store, nee_store, emw_store,
+         dr_store, mat_store, emat_store) = rest
     ti = pl.program_id(0)
     tj = pl.program_id(1)
+    if count_rounds:
+        @pl.when((ti == 0) & (tj == 0))
+        def _():
+            cnt_ref[0, 0] = jnp.int32(0)
     sky_r, sky_g, sky_b = par_f[0, 4], par_f[0, 5], par_f[0, 6]
     cox, coy, coz = par_f[0, 7], par_f[0, 8], par_f[0, 9]
     seed = par_i[0, 0].astype(jnp.uint32)
@@ -1473,7 +1480,7 @@ def _phys_fused_kernel(
             jax.lax.fori_loop(0, tri_em_cap, tri_body, 0)
 
     def sample_body(s, acc_img):
-        acc_r, acc_g, acc_b = acc_img
+        acc_r, acc_g, acc_b = acc_img[:3]
         sample = (s + sample_offset).astype(jnp.uint32)
         st = (
             pix * fk._u32(0x9E3779B9)
@@ -1657,8 +1664,13 @@ def _phys_fused_kernel(
               jnp.full((th, tw), sky_b))
         jax.lax.fori_loop(max_bounces + 1 - bend, max_bounces + 1,
                           bwd_body, S0)
+        if count_rounds:
+            return (acc_r, acc_g, acc_b, acc_img[3] + bend)
         return (acc_r, acc_g, acc_b)
 
+    acc0 = (zero, zero, zero) + (
+        (jnp.int32(0),) if count_rounds else ()
+    )
     if tile_gate:
         def run_sky():
             sky_base = 9 * n_mat
@@ -1667,22 +1679,26 @@ def _phys_fused_kernel(
                 j_ref[sky_base + c] = j_ref[sky_base + c] + sppf * ones
 
             def sbody(s, a):
-                return (a[0] + sky_r, a[1] + sky_g, a[2] + sky_b)
+                # gated sky tiles report 0 executed rounds (forward
+                # kernels' convention)
+                out = (a[0] + sky_r, a[1] + sky_g, a[2] + sky_b)
+                return out + ((a[3],) if count_rounds else ())
 
-            return jax.lax.fori_loop(0, spp, sbody, (zero, zero, zero))
+            return jax.lax.fori_loop(0, spp, sbody, acc0)
 
         acc = jax.lax.cond(
             tile_alive,
-            lambda: jax.lax.fori_loop(0, spp, sample_body,
-                                      (zero, zero, zero)),
+            lambda: jax.lax.fori_loop(0, spp, sample_body, acc0),
             run_sky,
         )
     else:
-        acc = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
+        acc = jax.lax.fori_loop(0, spp, sample_body, acc0)
     inv = jnp.float32(1.0 / spp)
     img_ref[0] = acc[0] * inv
     img_ref[1] = acc[1] * inv
     img_ref[2] = acc[2] * inv
+    if count_rounds:
+        cnt_ref[0, 0] = cnt_ref[0, 0] + acc[3]
 
 
 # Per-bounce fused-kernel scratch planes, counted from the scratch_shapes
@@ -1691,12 +1707,24 @@ def _phys_fused_kernel(
 _PHYS_FUSED_BOUNCE_PLANES = 22
 
 
+def phys_fused_tile(scene, rows, width, max_bounces, tile=PHYS_BWD_TILE,
+                    n_em_cap=0, tri_em_cap=0):
+    """The (th, tw) tile render_physical_pallas_fused will pick — the
+    ONE tile-sizing call shared by the wrapper and the executed-round
+    accounting (bench.py)."""
+    return _fit_tile(
+        rows, width, tile, scene.num_materials, max_bounces,
+        bounce_planes=_PHYS_FUSED_BOUNCE_PLANES, mat_planes=9,
+        fixed_planes=6 + 12 * n_em_cap + 27 * tri_em_cap,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret",
         "rows", "jitter", "nee", "n_em_cap", "early_exit", "tri_nee",
-        "tri_em_cap",
+        "tri_em_cap", "count_rounds",
     ),
 )
 def render_physical_pallas_fused(
@@ -1718,6 +1746,7 @@ def render_physical_pallas_fused(
     early_exit: bool | str = "once",
     tri_nee: bool = False,
     tri_em_cap: int = 0,
+    count_rounds: bool = False,
 ):
     """Physical-tier primal radiance (rows, W, 3) PLUS its per-pixel
     material/sky Jacobian (9*M+3, rows, W) in one kernel pass — the
@@ -1730,7 +1759,8 @@ def render_physical_pallas_fused(
     (requires ``tri_nee``) emits the triangle-emitter VERTEX Jacobian
     (27*tri_em_cap, rows, W; layout ``[k, comp(v0..v2 xyz), channel]``).
     The return appends ``jac_geo`` then ``jac_tri`` for whichever caps
-    are nonzero.
+    are nonzero, then — with ``count_rounds=True`` — the executed
+    bounce-round total (executed-basis SoL denominator).
 
     Residual footprint note: the Jacobian outputs live in HBM at
     ``(9*n_mat + 3 + 12*n_em_cap + 27*tri_em_cap) * rows * width * 4``
@@ -1738,11 +1768,8 @@ def render_physical_pallas_fused(
     Size fit workloads accordingly (the custom_vjp holds it from forward
     to backward)."""
     rows = height if rows is None else rows
-    th, tw = _fit_tile(
-        rows, width, tile, scene.num_materials, max_bounces,
-        bounce_planes=_PHYS_FUSED_BOUNCE_PLANES, mat_planes=9,
-        fixed_planes=6 + 12 * n_em_cap + 27 * tri_em_cap,
-    )
+    th, tw = phys_fused_tile(scene, rows, width, max_bounces, tile=tile,
+                             n_em_cap=n_em_cap, tri_em_cap=tri_em_cap)
     interpret = interpret or jax.default_backend() != "tpu"
 
     n_mat = scene.num_materials
@@ -1764,31 +1791,38 @@ def render_physical_pallas_fused(
         early_exit=early_exit,
         tri_nee=tri_nee,
         tri_em_cap=tri_em_cap,
+        count_rounds=count_rounds,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     operands = _phys_operands(
         scene, camera, height, width, seed, sample_offset, row_start
     )
-    img, jac, jgeo, jtri = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_j, th, tw), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_geo, th, tw), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tri_j, th, tw), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((3, rows, width), jnp.float32),
+        jax.ShapeDtypeStruct((n_j, rows, width), jnp.float32),
+        jax.ShapeDtypeStruct((n_geo, rows, width), jnp.float32),
+        jax.ShapeDtypeStruct((n_tri_j, rows, width), jnp.float32),
+    ]
+    if count_rounds:
+        out_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+    all_out = pl.pallas_call(
         kern,
         grid=(rows // th, width // tw),
         in_specs=[smem() for _ in operands],
-        out_specs=[
-            pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_j, th, tw), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_geo, th, tw), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tri_j, th, tw), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((3, rows, width), jnp.float32),
-            jax.ShapeDtypeStruct((n_j, rows, width), jnp.float32),
-            jax.ShapeDtypeStruct((n_geo, rows, width), jnp.float32),
-            jax.ShapeDtypeStruct((n_tri_j, rows, width), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bplus, 3, th, tw), jnp.float32),  # p_store
             pltpu.VMEM((bplus, 4, th, tw), jnp.float32),  # mk_store
@@ -1802,12 +1836,18 @@ def render_physical_pallas_fused(
         ],
         interpret=interpret,
     )(*operands)
+    if count_rounds:
+        img, jac, jgeo, jtri, cnt = all_out
+    else:
+        img, jac, jgeo, jtri = all_out
     img = jnp.transpose(img, (1, 2, 0))
     out = (img, jac)
     if n_em_cap:
         out = out + (jgeo,)
     if tri_em_cap:
         out = out + (jtri,)
+    if count_rounds:
+        out = out + (cnt[0, 0],)
     return out
 
 

@@ -226,3 +226,30 @@ def test_fused_mat_skip_variant_matches():
     )
     np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
     np.testing.assert_array_equal(np.asarray(j0), np.asarray(j1))
+
+
+def test_fused_executed_round_counter_matches_forward():
+    """count_rounds on the FUSED kernel (VERDICT r4 weak 2): the replay
+    runs the exact same "once"/sky-gate schedule as the forward, so the
+    executed-round totals must be EQUAL — and turning the counter on
+    must not perturb the primal (the counter is an int loop-carry + one
+    SMEM store)."""
+    from path_tracer_c_tpu.ops.pallas_grad import render_pallas_fused
+    from path_tracer_c_tpu.ops.pallas_kernels import render_pallas
+
+    scene = demo.demo_scene()
+    h, w, spp, bounces = 16, 128, 2, 3
+    img_f, cnt_f = render_pallas(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(7), tile=(8, 128),
+        jitter=False, count_rounds=True,
+    )
+    img_g, _, cnt_g = render_pallas_fused(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(7), tile=(8, 128),
+        jitter=False, count_rounds=True,
+    )
+    assert int(cnt_f) == int(cnt_g) > 0
+    img_g0, _ = render_pallas_fused(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(7), tile=(8, 128),
+        jitter=False,
+    )
+    np.testing.assert_array_equal(np.asarray(img_g), np.asarray(img_g0))

@@ -1044,3 +1044,32 @@ def test_phys_vjp_wrapper_matches_core_grad():
     g_fast = np.asarray(jax.grad(loss_fast)(a0))
     g_core = np.asarray(jax.grad(loss_core)(a0))
     np.testing.assert_allclose(g_fast, g_core, rtol=2e-2, atol=1e-6)
+
+
+def test_phys_fused_executed_round_counter_matches_forward():
+    """count_rounds on the fused physical kernel: equal executed-round
+    totals vs the forward (same schedule), counter does not perturb the
+    primal, and the counter composes with the geometry caps (outputs
+    append in cap order, count last)."""
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas, render_physical_pallas_fused,
+    )
+
+    scene = demo.cornell_spheres_scene()
+    h, w, spp, bounces = 16, 128, 2, 3
+    img_f, cnt_f = render_physical_pallas(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(7), tile=(8, 128),
+        jitter=False, count_rounds=True,
+    )
+    img_g, _, cnt_g = render_physical_pallas_fused(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(7), tile=(8, 128),
+        jitter=False, count_rounds=True,
+    )
+    assert int(cnt_f) == int(cnt_g) > 0
+    np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img_g))
+    out = render_physical_pallas_fused(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(7), tile=(8, 128),
+        jitter=False, count_rounds=True, n_em_cap=1,
+    )
+    assert len(out) == 4  # img, jac, jgeo, count
+    assert int(out[-1]) == int(cnt_f)
