@@ -245,8 +245,8 @@ def make_physical_shading(
                 jnp.where(msk, m_ior[mi, 0], io),
             )
 
-        return jax.lax.fori_loop(
-            0, n_mat, mat_body,
+        return fk._scene_loop(
+            n_mat, mat_body,
             (alb_r, alb_g, alb_b, em_r, em_g, em_b, est, rgh, trn, ior),
         )
 
@@ -375,7 +375,7 @@ def make_physical_shading(
             def cum_body(i, e):
                 return e + jnp.where(em_cum[i, 0] <= kk, 1, 0)
 
-            e_idx = jax.lax.fori_loop(0, n_sph, cum_body, e_idx)
+            e_idx = fk._scene_loop(n_sph, cum_body, e_idx)
             e_idx = jnp.clip(e_idx, 0, max(n_sph - 1, 0))
 
             cex = zero; cey = zero; cez = zero; rer = zero
@@ -396,8 +396,8 @@ def make_physical_shading(
                     jnp.where(msk, sph_m[i, 0], emat),
                 )
 
-            cex, cey, cez, rer, ler, leg, leb, emat = jax.lax.fori_loop(
-                0, n_sph, em_body, (cex, cey, cez, rer, ler, leg, leb, emat)
+            cex, cey, cez, rer, ler, leg, leb, emat = fk._scene_loop(
+                n_sph, em_body, (cex, cey, cez, rer, ler, leg, leb, emat)
             )
 
             dcx_ = cex - sox
@@ -458,7 +458,7 @@ def make_physical_shading(
                 def tcum_body(i, e):
                     return e + jnp.where(tri_cum[i, 0] <= kt, 1, 0)
 
-                t_idx = jax.lax.fori_loop(0, n_tri, tcum_body, t_idx)
+                t_idx = fk._scene_loop(n_tri, tcum_body, t_idx)
                 t_idx = jnp.clip(t_idx, 0, max(n_tri - 1, 0))
 
                 tv = [zero] * 9
@@ -488,8 +488,8 @@ def make_physical_shading(
                     )
 
                 (tv, tnx, tny, tnz, tar, tlr, tlg, tlb, tmat) = (
-                    jax.lax.fori_loop(
-                        0, n_tri, tfetch,
+                    fk._scene_loop(
+                        n_tri, tfetch,
                         (tuple(tv), tnx, tny, tnz, tar, tlr, tlg, tlb,
                          tmat),
                     )
@@ -1113,8 +1113,8 @@ def _phys_bwd_kernel(
                     jnp.where(msk, m_trn[mi, 0], tnh),
                 )
 
-            alr, alg, alb_, ecr, ecg, ecb, esh, tnh = jax.lax.fori_loop(
-                0, n_mat, fetch_body,
+            alr, alg, alb_, ecr, ecg, ecb, esh, tnh = fk._scene_loop(
+                n_mat, fetch_body,
                 (alr, alg, alb_, ecr, ecg, ecb, esh, tnh),
             )
 
@@ -1202,8 +1202,8 @@ def _phys_bwd_kernel(
                         jnp.where(msk, sph_r[i, 0], rer_),
                     )
 
-                cex, cey, cez, rer_ = jax.lax.fori_loop(
-                    0, n_sph, efetch, (cex, cey, cez, rer_)
+                cex, cey, cez, rer_ = fk._scene_loop(
+                    n_sph, efetch, (cex, cey, cez, rer_)
                 )
                 sox = jnp.where(validm, so_store[b, 0], 0.0)
                 soy = jnp.where(validm, so_store[b, 1], 0.0)

@@ -29,10 +29,15 @@ TPU (the tunnel's first compiles take minutes).
 
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def log(msg):

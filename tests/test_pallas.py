@@ -296,3 +296,36 @@ def test_pallas_beyond_reference_object_caps():
     assert np.isfinite(fast).all() and fast.max() > 0
     err = np.abs(core - fast)
     assert np.quantile(err, 0.99) < 1e-4, np.quantile(err, 0.99)
+
+
+def test_scene_loop_unrolled_matches_rolled(monkeypatch):
+    """The r5 TPU unrolling of the static scene-table loops
+    (pallas_kernels._scene_loop) is pure codegen: forcing it on in
+    interpret mode must reproduce the rolled render to FMA-contraction
+    tolerance (the choice point is shared by every kernel, so replay
+    bit-identity is preserved within either setting)."""
+    import jax
+
+    from path_tracer_c_tpu.ops import pallas_kernels as fk
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas,
+    )
+
+    scene = demo.demo_scene()
+    h, w, spp, bounces = 8, 128, 2, 3
+    args = (scene, CAM, h, w, spp, bounces, jnp.uint32(11))
+    rolled = np.asarray(render_pallas(*args, tile=(8, 128), jitter=False))
+    rolled_p = np.asarray(render_physical_pallas(
+        *args, tile=(8, 128), jitter=False))
+    monkeypatch.setattr(fk, "_FORCE_UNROLL", True)
+    jax.clear_caches()  # same static args would otherwise hit the cache
+    try:
+        unrolled = np.asarray(render_pallas(*args, tile=(8, 128),
+                                            jitter=False))
+        unrolled_p = np.asarray(render_physical_pallas(
+            *args, tile=(8, 128), jitter=False))
+    finally:
+        monkeypatch.setattr(fk, "_FORCE_UNROLL", None)
+        jax.clear_caches()
+    np.testing.assert_allclose(unrolled, rolled, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(unrolled_p, rolled_p, rtol=1e-4, atol=1e-4)
