@@ -447,8 +447,9 @@ def cmd_fit(args):
 
     if mode == "roughness":
         # Corrupt every material's roughness, then recover via the
-        # score-function estimator (rough_grad=True — core physical
-        # engine, the one path whose tangent carries d/d(roughness)).
+        # score-function estimator (rough_grad=True; both physical
+        # engines carry the REINFORCE tangent — the Pallas one as fused
+        # Jacobian planes).
         init = dataclasses.replace(
             true_scene,
             materials=dataclasses.replace(
@@ -458,20 +459,22 @@ def cmd_fit(args):
                 ),
             ),
         )
+        engine = cfg.engine if cfg.engine in (
+            "physical", "physical_pallas") else "physical"
         fitted, losses = diff.fit_materials(
             init, target, camera, cfg.height, cfg.width, cfg.spp,
             cfg.max_bounces, steps=fcfg.steps, lr=fcfg.lr, seed0=cfg.seed,
             callback=lambda i, l: metrics.log("fit_step", step=i, loss=l),
             checkpoint_path=fcfg.checkpoint_path or None,
             checkpoint_every=fcfg.checkpoint_every,
-            engine="physical", rough_grad=True,
+            engine=engine, rough_grad=True,
         )
         err = float(
             jnp.abs(fitted.materials.roughness
                     - true_scene.materials.roughness).max()
         )
         print(
-            f"roughness fit (physical, score-function): {fcfg.steps} "
+            f"roughness fit ({engine}, score-function): {fcfg.steps} "
             f"steps in {time.time() - t0:.1f}s, loss {losses[0]:.3e} -> "
             f"{losses[-1]:.3e}, max roughness err {err:.4f}"
         )

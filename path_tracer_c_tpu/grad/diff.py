@@ -73,15 +73,16 @@ def render_loss(
     shape forces the ~100x-slower core backward, so the fallback is
     never silent. ``engine="physical"``/``"physical_pallas"`` fit against
     the physical BRDF/NEE tier (core AD / Pallas material backward).
-    ``rough_grad=True`` (engine="physical" only) enables the
+    ``rough_grad=True`` (physical engines only) enables the
     score-function roughness gradient — bit-identical primal, REINFORCE
-    tangent (models/physical.trace_paths_physical)."""
-    if rough_grad and engine != "physical":
+    tangent; the Pallas engine emits it as 3 extra Jacobian planes per
+    material (ops/pallas_physical, r5)."""
+    if rough_grad and engine not in ("physical", "physical_pallas"):
         raise ValueError(
-            "rough_grad requires engine='physical' (core AD): the "
-            "score-function roughness estimator is a core-path "
-            f"capability; got engine={engine!r}. Pallas tiers keep "
-            "roughness detached by contract."
+            "rough_grad requires a physical engine (the score-function "
+            "roughness estimator lives in the physical tier); got "
+            f"engine={engine!r}. The reference tier keeps roughness "
+            "detached by contract."
         )
     if engine in ("physical", "physical_pallas"):
         if engine == "physical_pallas":
@@ -91,7 +92,7 @@ def render_loss(
             # (geom=False) — geometry cotangents aren't consumed here
             img = render_physical_pallas_vjp(
                 scene, camera, height, width, spp, max_bounces, seed,
-                jitter=False, geom=False,
+                jitter=False, geom=False, rough_grad=rough_grad,
             )
         else:
             from ..models.physical import render_physical
@@ -254,15 +255,15 @@ def fit_materials(
     existing checkpoint resumes bit-identically (step-indexed seeds).
     ``engine`` selects the differentiable render path (see
     :func:`render_loss`). ``rough_grad=True`` ALSO fits roughness via
-    the score-function estimator (engine="physical" required — the only
-    path whose tangent carries d/d(roughness); the REINFORCE term is
-    higher-variance than the smooth material gradients, so prefer more
-    spp or a lower lr for roughness-dominated fits). Returns
-    ``(scene, losses)``.
+    the score-function estimator (physical engines only; the Pallas
+    engine emits the REINFORCE term as fused Jacobian planes). The
+    REINFORCE term is higher-variance than the smooth material
+    gradients, so prefer more spp or a lower lr for
+    roughness-dominated fits. Returns ``(scene, losses)``.
     """
-    if rough_grad and engine != "physical":
+    if rough_grad and engine not in ("physical", "physical_pallas"):
         raise ValueError(
-            "fit_materials(rough_grad=True) requires engine='physical' "
+            "fit_materials(rough_grad=True) requires a physical engine "
             f"(got {engine!r}) — see render_loss"
         )
 

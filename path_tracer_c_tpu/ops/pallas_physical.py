@@ -182,7 +182,7 @@ def make_physical_shading(
     m_alb, m_eco, m_est, m_rgh, m_trn, m_ior, em_cum, le_sph,
     tri_cum, le_tri, tri_area, sky,
     th, tw, n_sph, n_tri, n_mat, n_em, n_em_t, nee, want_dw=False,
-    tri_nee=False, want_dwt=False,
+    tri_nee=False, want_dwt=False, rough_grad=False,
 ):
     """Build the physical-tier ``bounce`` routine over SMEM scene refs.
 
@@ -658,6 +658,24 @@ def make_physical_shading(
                         choose_refr,
                         1.0 / jnp.maximum(trn, 1e-6),
                         -1.0 / jnp.maximum(1.0 - trn, 1e-6),
+                    ),
+                    # score-function lobe derivative d(log p)/d(rough)
+                    # (rough_grad only): the lobe mixture samples
+                    # diffuse w.p. rough, so the REINFORCE factor is
+                    # +1/rough (diffuse), -1/(1-rough) (specular), 0
+                    # (refract — the lobe draw is not taken). Same
+                    # guards as models/physical.py's lobe_ratio.
+                    **(
+                        dict(drg=jnp.where(
+                            choose_refr,
+                            0.0,
+                            jnp.where(
+                                choose_diff,
+                                1.0 / jnp.maximum(rgh, 1e-6),
+                                -1.0 / jnp.maximum(1.0 - rgh, 1e-6),
+                            ),
+                        ))
+                        if rough_grad else {}
                     ),
                     # NEE contribution per unit throughput:
                     # nee_c = valid * le_c * w / pi
@@ -1332,13 +1350,15 @@ def _phys_fused_kernel(
     # (B+1,4) hit/miss/tir/addle masks, alb_store (B+1,3) hit albedo,
     # e_store (B+1,3) hit emission, nee_store (B+1,3) valid*le*w/pi,
     # emw_store (B+1,3) valid*P*albedo*w/pi, dr_store (B+1)
-    # transparency ratio derivative, mat_store/emat_store (B+1) i32
+    # transparency ratio derivative, mat_store/emat_store (B+1) i32,
+    # rg_store (B+1) score-function lobe derivative (rough_grad)
     *rest,
     th, tw, n_sph, n_tri, n_mat, spp, max_bounces, jitter, nee, n_em_cap,
     early_exit="once",
     tri_nee=False,
     tri_em_cap=0,
     count_rounds=False,
+    rough_grad=False,
 ):
     """Fused physical-tier primal + material/sky Jacobian (the physical
     analog of pallas_grad._fused_kernel; see that module's math). Per
@@ -1357,10 +1377,10 @@ def _phys_fused_kernel(
     ordinals >= n_em_cap and non-emitter geometry get zeros."""
     if count_rounds:
         (cnt_ref, p_store, mk_store, alb_store, e_store, nee_store,
-         emw_store, dr_store, mat_store, emat_store) = rest
+         emw_store, dr_store, mat_store, emat_store, rg_store) = rest
     else:
         (p_store, mk_store, alb_store, e_store, nee_store, emw_store,
-         dr_store, mat_store, emat_store) = rest
+         dr_store, mat_store, emat_store, rg_store) = rest
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     if count_rounds:
@@ -1386,7 +1406,7 @@ def _phys_fused_kernel(
         tri_cum, le_tri, tri_area,
         (sky_r, sky_g, sky_b), th, tw, n_sph, n_tri, n_mat, n_em, n_em_t,
         nee, want_dw=n_em_cap > 0, tri_nee=tri_nee,
-        want_dwt=tri_em_cap > 0,
+        want_dwt=tri_em_cap > 0, rough_grad=rough_grad,
     )
 
     cam_ox = jnp.full((th, tw), cox)
@@ -1402,7 +1422,10 @@ def _phys_fused_kernel(
         t0p = bounce.closest_t(cam_ox, cam_oy, cam_oz, pdx, pdy, pdz)
         tile_alive = jnp.max(jnp.where(t0p < fk._INF, 1.0, 0.0)) > 0.0
 
-    n_j = 9 * n_mat + 3
+    # per-material plane count: A[3] + S'[3] + R[3], plus — with
+    # rough_grad — the score-function roughness planes G[3]
+    mp = 12 if rough_grad else 9
+    n_j = mp * n_mat + 3
 
     def zero_j(k, _):
         j_ref[k] = zero
@@ -1437,6 +1460,8 @@ def _phys_fused_kernel(
             nee_store[b, i] = info["nee"][i]
             emw_store[b, i] = info["EmW"][i]
         dr_store[b] = info["dr"]
+        if rough_grad:
+            rg_store[b] = info["drg"]
         mat_store[b] = info["mat"]
         emat_store[b] = info["emat"]
         if n_em_cap:
@@ -1566,7 +1591,7 @@ def _phys_fused_kernel(
         acc_r = acc_r + ar
         acc_g = acc_g + ag
         acc_b = acc_b + ab
-        sky_base = 9 * n_mat
+        sky_base = mp * n_mat
         j_ref[sky_base + 0] = j_ref[sky_base + 0] + tr_e
         j_ref[sky_base + 1] = j_ref[sky_base + 1] + tg_e
         j_ref[sky_base + 2] = j_ref[sky_base + 2] + tb_e
@@ -1588,7 +1613,7 @@ def _phys_fused_kernel(
             Sg_h = jnp.where(tirm, 0.0, Sg)
             Sb_h = jnp.where(tirm, 0.0, Sb)
 
-            sky_base = 9 * n_mat
+            sky_base = mp * n_mat
             j_ref[sky_base + 0] = j_ref[sky_base + 0] + jnp.where(
                 missm, Pr, 0.0)
             j_ref[sky_base + 1] = j_ref[sky_base + 1] + jnp.where(
@@ -1611,6 +1636,16 @@ def _phys_fused_kernel(
             cRr = cAr * dr
             cRg = cAg * dr
             cRb = cAb * dr
+            if rough_grad:
+                # score-function roughness planes: the lobe factor sits
+                # at the SAME point of the product chain as the
+                # transparency ratio, so its cotangent reuses cA with
+                # d(log p)/d(rough) in place of dr (albedo closes at
+                # the contraction, like the R planes).
+                rg = jnp.where(hitm, rg_store[b], 0.0)
+                cGr = cAr * rg
+                cGg = cAg * rg
+                cGb = cAb * rg
             emw_r = jnp.where(hitm, emw_store[b, 0], 0.0)
             emw_g = jnp.where(hitm, emw_store[b, 1], 0.0)
             emw_b = jnp.where(hitm, emw_store[b, 2], 0.0)
@@ -1618,7 +1653,7 @@ def _phys_fused_kernel(
             def mat_body(mi, _):
                 mskf = jnp.where(mat == mi, 1.0, 0.0)
                 mske = jnp.where(emat == mi, 1.0, 0.0)
-                base = 9 * mi
+                base = mp * mi
                 j_ref[base + 0] = j_ref[base + 0] + mskf * cAr
                 j_ref[base + 1] = j_ref[base + 1] + mskf * cAg
                 j_ref[base + 2] = j_ref[base + 2] + mskf * cAb
@@ -1634,6 +1669,10 @@ def _phys_fused_kernel(
                 j_ref[base + 6] = j_ref[base + 6] + mskf * cRr
                 j_ref[base + 7] = j_ref[base + 7] + mskf * cRg
                 j_ref[base + 8] = j_ref[base + 8] + mskf * cRb
+                if rough_grad:
+                    j_ref[base + 9] = j_ref[base + 9] + mskf * cGr
+                    j_ref[base + 10] = j_ref[base + 10] + mskf * cGg
+                    j_ref[base + 11] = j_ref[base + 11] + mskf * cGb
                 return 0
 
             jax.lax.fori_loop(0, n_mat, mat_body, 0)
@@ -1673,7 +1712,7 @@ def _phys_fused_kernel(
     )
     if tile_gate:
         def run_sky():
-            sky_base = 9 * n_mat
+            sky_base = mp * n_mat
             sppf = jnp.float32(spp)
             for c in range(3):
                 j_ref[sky_base + c] = j_ref[sky_base + c] + sppf * ones
@@ -1703,18 +1742,19 @@ def _phys_fused_kernel(
 
 # Per-bounce fused-kernel scratch planes, counted from the scratch_shapes
 # list below: p 3 + mk 4 + alb 3 + e 3 + nee 3 + emw 3 + dr 1 + mat 1 +
-# emat 1 (the two i32 planes cost the same VMEM as f32).
-_PHYS_FUSED_BOUNCE_PLANES = 22
+# emat 1 + rg 1 (the two i32 planes cost the same VMEM as f32).
+_PHYS_FUSED_BOUNCE_PLANES = 23
 
 
 def phys_fused_tile(scene, rows, width, max_bounces, tile=PHYS_BWD_TILE,
-                    n_em_cap=0, tri_em_cap=0):
+                    n_em_cap=0, tri_em_cap=0, rough_grad=False):
     """The (th, tw) tile render_physical_pallas_fused will pick — the
     ONE tile-sizing call shared by the wrapper and the executed-round
     accounting (bench.py)."""
     return _fit_tile(
         rows, width, tile, scene.num_materials, max_bounces,
-        bounce_planes=_PHYS_FUSED_BOUNCE_PLANES, mat_planes=9,
+        bounce_planes=_PHYS_FUSED_BOUNCE_PLANES,
+        mat_planes=12 if rough_grad else 9,
         fixed_planes=6 + 12 * n_em_cap + 27 * tri_em_cap,
     )
 
@@ -1724,7 +1764,7 @@ def phys_fused_tile(scene, rows, width, max_bounces, tile=PHYS_BWD_TILE,
     static_argnames=(
         "height", "width", "spp", "max_bounces", "tile", "interpret",
         "rows", "jitter", "nee", "n_em_cap", "early_exit", "tri_nee",
-        "tri_em_cap", "count_rounds",
+        "tri_em_cap", "count_rounds", "rough_grad",
     ),
 )
 def render_physical_pallas_fused(
@@ -1747,6 +1787,7 @@ def render_physical_pallas_fused(
     tri_nee: bool = False,
     tri_em_cap: int = 0,
     count_rounds: bool = False,
+    rough_grad: bool = False,
 ):
     """Physical-tier primal radiance (rows, W, 3) PLUS its per-pixel
     material/sky Jacobian (9*M+3, rows, W) in one kernel pass — the
@@ -1769,12 +1810,13 @@ def render_physical_pallas_fused(
     to backward)."""
     rows = height if rows is None else rows
     th, tw = phys_fused_tile(scene, rows, width, max_bounces, tile=tile,
-                             n_em_cap=n_em_cap, tri_em_cap=tri_em_cap)
+                             n_em_cap=n_em_cap, tri_em_cap=tri_em_cap,
+                             rough_grad=rough_grad)
     interpret = interpret or jax.default_backend() != "tpu"
 
     n_mat = scene.num_materials
     bplus = max_bounces + 1
-    n_j = 9 * n_mat + 3
+    n_j = (12 if rough_grad else 9) * n_mat + 3
     n_geo = max(12 * n_em_cap, 1)
     n_tri_j = max(27 * tri_em_cap, 1)
     kern = partial(
@@ -1792,6 +1834,7 @@ def render_physical_pallas_fused(
         tri_nee=tri_nee,
         tri_em_cap=tri_em_cap,
         count_rounds=count_rounds,
+        rough_grad=rough_grad,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     operands = _phys_operands(
@@ -1833,6 +1876,7 @@ def render_physical_pallas_fused(
             pltpu.VMEM((bplus, th, tw), jnp.float32),  # dr_store
             pltpu.VMEM((bplus, th, tw), jnp.int32),  # mat_store
             pltpu.VMEM((bplus, th, tw), jnp.int32),  # emat_store
+            pltpu.VMEM((bplus, th, tw), jnp.float32),  # rg_store
         ],
         interpret=interpret,
     )(*operands)
@@ -1912,23 +1956,32 @@ def contract_physical_jacobian(scene: Scene, jac, g, spp: int,
 
     n_mat = scene.num_materials
     mats = scene.materials
+    # per-material plane count encodes whether the kernel emitted the
+    # score-function roughness planes (12) or not (9)
+    mp = (jac.shape[0] - 3) // n_mat if n_mat else 9
     g_cp = jnp.transpose(g.astype(jnp.float32), (2, 0, 1))
-    jm = jac[: 9 * n_mat].reshape(n_mat, 3, 3, jac.shape[1], jac.shape[2])
+    jm = jac[: mp * n_mat].reshape(
+        n_mat, mp // 3, 3, jac.shape[1], jac.shape[2]
+    )
     gq = jnp.einsum("mkchw,chw->mkc", jm, g_cp) / spp
     d_alb = gq[:, 0]
     d_eco = gq[:, 1] * mats.emission_strength[:, None]
     d_est = jnp.sum(gq[:, 1] * mats.emission_color, axis=1)
     d_trn = jnp.sum(gq[:, 2] * mats.albedo, axis=1)
-    d_sky = jnp.einsum("chw,chw->c", jac[9 * n_mat:], g_cp) / spp
+    d_sky = jnp.einsum("chw,chw->c", jac[mp * n_mat:], g_cp) / spp
 
     zeros = lambda x: jnp.zeros_like(x)
+    d_rgh = (
+        jnp.sum(gq[:, 3] * mats.albedo, axis=1)
+        if mp == 12 else zeros(mats.roughness)
+    )
     d_mats = dataclasses.replace(
         mats,
         albedo=d_alb,
         emission_color=d_eco,
         emission_strength=d_est,
         transparency=d_trn,
-        roughness=zeros(mats.roughness),
+        roughness=d_rgh,
         metallicity=zeros(mats.metallicity),
         refractive_index=zeros(mats.refractive_index),
     )
@@ -2342,10 +2395,12 @@ def render_physical_pallas_bwd(
 # -- differentiable wrapper: Pallas forward + Pallas material backward ------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+@partial(jax.custom_vjp,
+         nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _render_physical_pallas_vjp(
     scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-    geo_cap, tri_nee, tri_geo_cap, seed, sample_offset, row_start,
+    geo_cap, tri_nee, tri_geo_cap, rough_grad, seed, sample_offset,
+    row_start,
 ):
     return render_physical_pallas(
         scene, camera, height, width, spp, max_bounces, seed,
@@ -2356,7 +2411,8 @@ def _render_physical_pallas_vjp(
 
 def _vjp_fwd(
     scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-    geo_cap, tri_nee, tri_geo_cap, seed, sample_offset, row_start,
+    geo_cap, tri_nee, tri_geo_cap, rough_grad, seed, sample_offset,
+    row_start,
 ):
     # One fused primal+Jacobian kernel either way (no ray traced twice);
     # geo_cap > 0 adds the in-bounce NEE emitter-geometry planes and
@@ -2367,7 +2423,7 @@ def _vjp_fwd(
         scene, camera, height, width, spp, max_bounces, seed,
         sample_offset=sample_offset, row_start=row_start, rows=rows,
         jitter=jitter, nee=nee, n_em_cap=geo_cap, tri_nee=tri_nee,
-        tri_em_cap=tri_geo_cap,
+        tri_em_cap=tri_geo_cap, rough_grad=rough_grad,
     )
     out, jac = out_all[0], out_all[1]
     rest = list(out_all[2:])
@@ -2377,7 +2433,7 @@ def _vjp_fwd(
 
 
 def _vjp_bwd(height, width, spp, max_bounces, rows, jitter, nee, geo_cap,
-             tri_nee, tri_geo_cap, res, g):
+             tri_nee, tri_geo_cap, rough_grad, res, g):
     scene, camera, jac, jgeo, jtri = res
     d_scene = contract_physical_jacobian(scene, jac, g, spp, jac_geo=jgeo,
                                          jac_tri=jtri)
@@ -2402,9 +2458,13 @@ def render_physical_pallas_vjp(
     sample_offset=0, row_start=0, rows: int | None = None,
     jitter: bool = True, nee: bool = True, geom: bool = True,
     n_em_cap: int | None = None, tri_nee: bool = False,
-    tri_em_cap: int | None = None,
+    tri_em_cap: int | None = None, rough_grad: bool = False,
 ):
     """Differentiable physical-tier fast render (fused primal+Jacobian).
+    ``rough_grad=True`` adds the score-function roughness planes (3 per
+    material), making the roughness cotangent the same unbiased
+    REINFORCE estimate as the core path's ``rough_grad`` — the primal
+    stays bit-identical, since the lobe factor is exactly 1.
 
     Albedo, emission, transparency and sky cotangents match core AD in
     both modes. ``geom=True`` (default) also emits NEE emitter-geometry
@@ -2449,7 +2509,7 @@ def render_physical_pallas_vjp(
             tri_geo_cap = min(tri_geo_cap, n_live_t)
     return _render_physical_pallas_vjp(
         scene, camera, height, width, spp, max_bounces, rows, jitter, nee,
-        geo_cap, tri_nee, tri_geo_cap,
+        geo_cap, tri_nee, tri_geo_cap, rough_grad,
         jnp.asarray(seed, jnp.uint32),
         jnp.asarray(sample_offset, jnp.int32),
         jnp.asarray(row_start, jnp.int32),

@@ -1126,3 +1126,99 @@ def test_phys_bwd_flip_error_shrinks_with_spp():
     # measured: 0.041 -> 0.010 (the 2->32 shrink the loose-gate comment
     # cites); gate at a conservative fraction of that
     assert e32 < e2 * 0.75, (e2, e32)
+
+
+def test_phys_fused_rough_grad_matches_core():
+    """The fused kernel's score-function roughness planes (rough_grad=
+    True, 3 extra Jacobian planes per material — VERDICT r4 item 4
+    stretch): d/d(roughness) through the vjp wrapper matches core
+    rough_grad AD (measured rel err 8e-8 on the lobe-asymmetry scene),
+    the primal is bit-identical to the plain forward, and the OTHER
+    material cotangents are unchanged."""
+    import dataclasses
+
+    import jax
+
+    b = pt.SceneBuilder(sky_color=(0.02, 0.02, 0.03))
+    m = b.add_material(albedo=(0.9, 0.9, 0.9), roughness=0.5)
+    ground = b.add_material(albedo=(0.4, 0.35, 0.3), roughness=1.0)
+    lamp = b.add_material(albedo=(0.0, 0.0, 0.0),
+                          emission_color=(1.0, 0.9, 0.8),
+                          emission_strength=25.0)
+    b.add_sphere(center=(0.0, 0.0, 3.0), radius=1.0, material=m)
+    b.add_sphere(center=(2.0, 3.5, 2.0), radius=0.5, material=lamp)
+    b.add_triangle(v0=(-60, -1.2, -60), v1=(60, -1.2, -60),
+                   v2=(60, -1.2, 60), material=ground)
+    b.add_triangle(v0=(-60, -1.2, -60), v1=(-60, -1.2, 60),
+                   v2=(60, -1.2, 60), material=ground)
+    scene = b.build()
+    h, w, spp, bounces = 16, 128, 4, 3
+    target = jnp.zeros((h, w, 3), jnp.float32)
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas, render_physical_pallas_vjp,
+    )
+
+    fast = lambda sc: render_physical_pallas_vjp(
+        sc, CAM, h, w, spp, bounces, jnp.uint32(5), jitter=False,
+        rough_grad=True)
+    core = lambda sc: render_physical(
+        sc, CAM, h, w, spp, bounces, jnp.uint32(5), jitter=False,
+        rough_grad=True)
+    gF = jax.grad(lambda sc: jnp.mean((fast(sc) - target) ** 2),
+                  allow_int=True)(scene)
+    gC = jax.grad(lambda sc: jnp.mean((core(sc) - target) ** 2),
+                  allow_int=True)(scene)
+    for name in ("roughness", "albedo", "transparency",
+                 "emission_strength", "emission_color"):
+        a = np.asarray(getattr(gF.materials, name))
+        c = np.asarray(getattr(gC.materials, name))
+        den = max(np.abs(c).max(), 1e-12)
+        assert np.abs(a - c).max() / den < 5e-3, (name, a, c)
+    assert np.abs(np.asarray(gC.materials.roughness)).max() > 1e-8
+    # primal unchanged by the extra planes
+    p0 = np.asarray(render_physical_pallas(
+        scene, CAM, h, w, spp, bounces, jnp.uint32(5), jitter=False))
+    p1 = np.asarray(fast(scene))
+    np.testing.assert_array_equal(p0, p1)
+
+
+def test_phys_fused_rough_grad_fit():
+    """End-to-end roughness recovery on the FAST path:
+    fit_materials(engine='physical_pallas', rough_grad=True)."""
+    import dataclasses
+
+    from path_tracer_c_tpu.grad.diff import fit_materials
+
+    b = pt.SceneBuilder(sky_color=(0.02, 0.02, 0.03))
+    m = b.add_material(albedo=(0.9, 0.9, 0.9), roughness=0.5)
+    ground = b.add_material(albedo=(0.4, 0.35, 0.3), roughness=1.0)
+    lamp = b.add_material(albedo=(0.0, 0.0, 0.0),
+                          emission_color=(1.0, 0.9, 0.8),
+                          emission_strength=25.0)
+    b.add_sphere(center=(0.0, 0.0, 3.0), radius=1.0, material=m)
+    b.add_sphere(center=(2.0, 3.5, 2.0), radius=0.5, material=lamp)
+    b.add_triangle(v0=(-60, -1.2, -60), v1=(60, -1.2, -60),
+                   v2=(60, -1.2, 60), material=ground)
+    b.add_triangle(v0=(-60, -1.2, -60), v1=(-60, -1.2, 60),
+                   v2=(60, -1.2, 60), material=ground)
+    true_scene = b.build()
+    h, w, spp, bounces = 16, 128, 16, 2
+    target = render_physical(true_scene, CAM, h, w, 64, bounces,
+                             jnp.uint32(99), jitter=False)
+    init = dataclasses.replace(
+        true_scene,
+        materials=dataclasses.replace(
+            true_scene.materials,
+            roughness=true_scene.materials.roughness.at[0].set(0.15),
+        ),
+    )
+    fitted, losses = fit_materials(
+        init, target, CAM, h, w, spp, bounces, steps=25, lr=0.05,
+        seed0=3, engine="physical_pallas", rough_grad=True,
+    )
+    r_true = float(true_scene.materials.roughness[0])
+    err0 = abs(0.15 - r_true)
+    err1 = abs(float(fitted.materials.roughness[0]) - r_true)
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+    assert err1 < err0 * 0.5, (err0, err1)

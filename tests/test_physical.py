@@ -521,18 +521,25 @@ def test_fit_roughness_recovery_driver():
 
 
 def test_rough_grad_requires_physical_engine():
-    """rough_grad through a non-core engine must raise, not silently
-    return zero roughness gradients (plumbing contract)."""
+    """rough_grad through a non-physical engine must raise, not silently
+    return zero roughness gradients (plumbing contract). Both physical
+    engines accept it since r5 (the Pallas engine emits the REINFORCE
+    term as fused Jacobian planes)."""
     from path_tracer_c_tpu.grad.diff import fit_materials, render_loss
 
     scene = pt.demo.cornell_spheres_scene()
-    with pytest.raises(ValueError, match="rough_grad"):
-        render_loss(scene, jnp.zeros((8, 8, 3)), CAM, 8, 8, 2, 2,
-                    jnp.uint32(0), engine="physical_pallas",
-                    rough_grad=True)
+    for engine in ("auto", "pallas", "core"):
+        with pytest.raises(ValueError, match="rough_grad"):
+            render_loss(scene, jnp.zeros((8, 8, 3)), CAM, 8, 8, 2, 2,
+                        jnp.uint32(0), engine=engine, rough_grad=True)
     with pytest.raises(ValueError, match="rough_grad"):
         fit_materials(scene, jnp.zeros((8, 8, 3)), CAM, 8, 8, 2, 2,
                       steps=1, engine="auto", rough_grad=True)
+    # the physical_pallas engine accepts rough_grad (fused planes)
+    l = render_loss(scene, jnp.zeros((8, 128, 3)), CAM, 8, 128, 2, 2,
+                    jnp.uint32(0), engine="physical_pallas",
+                    rough_grad=True)
+    assert np.isfinite(float(l))
 
 
 def test_rough_grad_composes_with_tri_nee():
