@@ -76,6 +76,9 @@ __all__ = [
 # VMEM scratch (not loop-carried vregs), so larger tiles amortize the
 # per-material accumulator loop; the n_mat-dependent Jacobian output block
 # bounds it (see _fit_tile).
+# r5 post-unroll sweep (1024^2/64spp/8b glossy, docs/
+# fused_tile_sweep_r5.txt): (32,128)=2.68, (64,128)=2.86, (128,128)=2.84,
+# (64,256)=2.75 Grays/s — (64,128) confirmed optimal.
 BWD_TILE = (64, 128)
 
 # Per-material Jacobian planes: A[3] + S[3] + R[3] (module docstring).

@@ -42,11 +42,14 @@ from ..models.integrator import DEFAULT_EPS_OFFSET, EPS_OFFSET_SCALE
 
 __all__ = ["render_pallas", "render_pallas_vjp", "make_geometry", "DEFAULT_TILE"]
 
-# Tile sweep on v5e (1024^2/64spp/8bounce glossy): (8,128)=1.02,
+# Tile sweep on v5e (1024^2/64spp/8bounce glossy). r2: (8,128)=1.02,
 # (16,128)=1.72, (32,128)=2.14, (64,128)=1.88, (128,128)=1.64 Grays/s.
-# Small tiles pay per-grid-program overhead; huge tiles carry too many
-# vregs through the bounce loop (14 state planes x tile/(8,128) vregs)
-# and coarsen the all-dead early exit. (32,128) is the sweet spot.
+# Re-swept r5 post loop-unrolling: (16,128)=4.90, (32,128)=4.95,
+# (64,128)=4.59, (32,256)=4.53, (64,256)=3.73, (128,128)=3.73.
+# Small tiles pay per-grid-program overhead (measured 103 us/program,
+# docs/sol_decompose_r5.json); huge tiles carry too many vregs through
+# the bounce loop and coarsen the all-dead early exit. (32,128) stays
+# the sweet spot in both regimes.
 DEFAULT_TILE = (32, 128)
 
 # Scene-table loops (objects/materials) have STATIC python-int trip

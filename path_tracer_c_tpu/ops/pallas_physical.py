@@ -81,6 +81,9 @@ _TWO_PI = np.float32(2.0 * math.pi)
 
 # Backward tile: the replay stores 15 planes per bounce (see
 # _phys_bwd_kernel scratch) so the default tile is half the forward's.
+# r5 post-unroll sweep (docs/fused_tile_sweep_r5.txt): fused physical
+# (16,128)=1.56, (32,128)=1.74, (64,128)=1.70, (32,256)=1.70 Grays/s —
+# (32,128) confirmed optimal.
 PHYS_BWD_TILE = (32, 128)
 _PHYS_BOUNCE_PLANES = 15
 

@@ -65,6 +65,7 @@ def render_sharded(
     n_em_cap: int | None = None,
     tri_nee: bool = False,
     tri_em_cap: int | None = None,
+    rough_grad: bool = False,
 ):
     """Full-image radiance rendered across the mesh: (H, W, 3), sharded
     over rows on the ``tile`` axis.
@@ -91,6 +92,10 @@ def render_sharded(
         raise ValueError(
             f"tri_nee requires a physical engine, got engine={engine!r} "
             "(the reference tier has no light-sampling pool)"
+        )
+    if rough_grad and engine not in ("physical", "physical_pallas"):
+        raise ValueError(
+            f"rough_grad requires a physical engine, got engine={engine!r}"
         )
     if engine == "pallas":
         from ..ops.pallas_kernels import render_pallas_vjp
@@ -157,6 +162,7 @@ def render_sharded(
                 rows=rows_local,
                 vma_axes=vma,
                 tri_nee=tri_nee,
+                rough_grad=rough_grad,
             )
         elif engine == "physical_pallas":
             img = render_physical_pallas_vjp(
@@ -178,6 +184,7 @@ def render_sharded(
                 n_em_cap=n_em_cap,
                 tri_nee=tri_nee,
                 tri_em_cap=tri_em_cap,
+                rough_grad=rough_grad,
             )
         else:
             img = render_tile(
@@ -214,6 +221,7 @@ def make_train_step(
     n_em_cap: int | None = None,
     tri_nee: bool = False,
     tri_em_cap: int | None = None,
+    rough_grad: bool = False,
 ):
     """Build a jitted sharded inverse-rendering train step.
 
@@ -252,6 +260,7 @@ def make_train_step(
             n_em_cap=n_em_cap,
             tri_nee=tri_nee,
             tri_em_cap=tri_em_cap,
+            rough_grad=rough_grad,
         )
         return jnp.mean((img - target) ** 2)
 

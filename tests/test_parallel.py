@@ -436,3 +436,53 @@ def test_sharded_tri_nee_vertex_gradient_matches_unsharded():
     g_single = np.asarray(jax.grad(loss_single)(v0))
     assert np.abs(g_single).max() > 1e-10
     np.testing.assert_allclose(g_sharded, g_single, rtol=1e-4, atol=1e-12)
+
+
+def test_sharded_rough_grad_matches_unsharded():
+    """The psummed score-function roughness cotangent (rough_grad=True
+    under the mesh, fused Jacobian planes per shard) equals the
+    unsharded one, and is nonzero."""
+    import dataclasses
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas_vjp,
+    )
+
+    scene_g = demo.glossy_scene()
+    h, w, spp, bounces = 16, 16, 4, 2
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    mesh = parallel.make_mesh(tile=2, spp=4)
+
+    def with_rough(r):
+        return dataclasses.replace(
+            scene_g,
+            materials=dataclasses.replace(
+                scene_g.materials,
+                roughness=scene_g.materials.roughness.at[0].set(r),
+            ),
+        )
+
+    def loss_sharded(r):
+        img = parallel.render_sharded(
+            with_rough(r), CAM, h, w, spp, bounces, jnp.uint32(3), mesh,
+            engine="physical_pallas", jitter=False, rough_grad=True,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    def loss_single(r):
+        img = render_physical_pallas_vjp(
+            with_rough(r), CAM, h, w, spp, bounces, jnp.uint32(3),
+            jitter=False, geom=False, rough_grad=True,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    r0 = scene_g.materials.roughness[0]
+    g_sharded = float(jax.grad(loss_sharded)(r0))
+    g_single = float(jax.grad(loss_single)(r0))
+    assert abs(g_single) > 1e-10
+    assert abs(g_sharded - g_single) <= 1e-4 * max(abs(g_single), 1e-6)
+    with pytest.raises(ValueError, match="rough_grad"):
+        parallel.render_sharded(
+            scene_g, CAM, h, w, spp, bounces, jnp.uint32(3), mesh,
+            engine="pallas", rough_grad=True,
+        )
