@@ -460,6 +460,12 @@ def _fused_kernel(
                     accumulate()
                 return 0
 
+            # NOT unrolled (unlike the physical fused kernel's twin):
+            # measured 2.47 vs 2.86 Grays/s unrolled-vs-rolled at this
+            # kernel's (64,128) tile — 15 materials x 9 static-indexed
+            # plane RMWs per bounce bloat the unrolled body past the
+            # scheduler's sweet spot, while the physical kernel's
+            # (32,128) tile gains +14% from the same change.
             jax.lax.fori_loop(0, n_mat, mat_body, 0)
 
             # carry: T_{b-1} = Le_b + albedo_b * T_b (hit), sky (miss),
