@@ -375,7 +375,7 @@ def cmd_fit(args):
         fcfg.checkpoint_every = args.checkpoint_every
     if fcfg.checkpoint_path and not fcfg.checkpoint_every:
         fcfg.checkpoint_every = max(1, fcfg.steps // 10)
-    mode = getattr(args, "mode", None) or "materials"
+    mode = getattr(args, "mode", None) or fcfg.mode or "materials"
 
     true_scene = get_scene(cfg.scene)
     camera = Camera.reference(cfg.fov_deg)
@@ -591,7 +591,7 @@ def build_parser():
     f.add_argument("--steps", type=int)
     f.add_argument(
         "--mode", choices=["materials", "geometry", "roughness"],
-        default="materials",
+        default=None,  # falls back to FitConfig.mode ("materials")
         help="materials: recover albedo+emission (config 4); geometry: "
              "recover the emissive light sphere's center via the physical "
              "tier's NEE geometry gradients; roughness: recover material "

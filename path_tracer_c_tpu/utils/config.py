@@ -75,6 +75,10 @@ class FitConfig:
     target: str = ""  # target image path (npy) or empty to self-render
     checkpoint_every: int = 0  # steps between optimizer checkpoints; 0 = off
     checkpoint_path: str = ""  # resumes bit-identically if the file exists
+    # "materials" (albedo+emission, config 4) | "geometry" (emissive
+    # light pose, physical tier) | "roughness" (score-function
+    # estimator, rough_grad) — the CLI --mode flag overrides.
+    mode: str = "materials"
 
 
 @dataclass
