@@ -57,9 +57,9 @@ DEFAULT_TILE = (32, 128)
 # dynamic SMEM scalar loads into static ones the compiler hoists out of
 # the bounce/sample loops and drops the scf bookkeeping — measured +32%
 # forward / +47% physical throughput at the bench workload (3.66 -> 4.83
-# Grays/s fwd; docs/PERFORMANCE.md r5 "decomposed and spent"). Above the
-# bound, partial unroll bounds code size / Mosaic compile time (the
-# capacity sweep runs 200-object scenes). TPU-ONLY: in interpret mode
+# Grays/s fwd; docs/PERFORMANCE.md r5 "decomposed and spent"). Above
+# the bound the loop stays rolled (see _scene_loop). TPU-ONLY: in
+# interpret mode
 # (the CPU test suite) the unrolled straight-line graphs blow up XLA:CPU
 # compile times (measured: the non-slow suite went 19 -> 35+ min), and
 # the loops are semantically identical either way — every kernel shares
@@ -77,11 +77,13 @@ def _scene_loop(n, body, init):
         if _FORCE_UNROLL is not None
         else jax.default_backend() == "tpu"
     )
-    if not unroll:
+    # Mosaic's loop lowering supports only FULL unroll or none
+    # (unroll=k raises NotImplementedError), so above the bound the
+    # loop stays rolled — 200-object capacity-sweep scenes keep the r4
+    # codegen.
+    if not unroll or n > _UNROLL_MAX:
         return jax.lax.fori_loop(0, n, body, init)
-    return jax.lax.fori_loop(
-        0, n, body, init, unroll=True if n <= _UNROLL_MAX else 8
-    )
+    return jax.lax.fori_loop(0, n, body, init, unroll=True)
 # Plain numpy scalars: module-level jnp values would be captured as
 # constants by pallas_call, which rejects them.
 _INF = np.float32(np.inf)
