@@ -376,6 +376,11 @@ def cmd_fit(args):
     if fcfg.checkpoint_path and not fcfg.checkpoint_every:
         fcfg.checkpoint_every = max(1, fcfg.steps // 10)
     mode = getattr(args, "mode", None) or fcfg.mode or "materials"
+    if mode not in ("materials", "geometry", "roughness"):
+        raise SystemExit(
+            f"fit: unknown mode {mode!r} (config file?) — expected "
+            "materials | geometry | roughness"
+        )
 
     true_scene = get_scene(cfg.scene)
     camera = Camera.reference(cfg.fov_deg)

@@ -504,7 +504,7 @@ def fit_camera(
     checkpoint_every: int = 0,
     engine: str = "physical",
     fd_eps: float = 1e-3,
-    fov_deg: float = 90.0,
+    fov_deg: float | None = None,
 ):
     """Recover camera pose (origin + look-at target, 6 scalars) from a
     target image, physical tier.
@@ -534,14 +534,23 @@ def fit_camera(
     if engine not in ("physical", "physical_fd"):
         raise ValueError(f"unknown fit_camera engine {engine!r}")
 
+    import numpy as np
+
     o0 = jnp.asarray(camera_init.origin, jnp.float32)
     t0 = o0 + camera_init.forward / jnp.maximum(
         jnp.linalg.norm(camera_init.forward), 1e-8
     )
     params = {"origin": o0, "target": t0}
+    # FOV and the up hint come from camera_init unless overridden — a
+    # hardcoded 90 would silently fit a wrong-FOV camera for any
+    # non-default camera_init (review r5).
+    if fov_deg is None:
+        fov_deg = float(np.rad2deg(np.asarray(camera_init.fov)))
+    up_hint = tuple(np.asarray(camera_init.up, np.float32))
 
     def cam_of(p):
-        return Camera.look_at(p["origin"], p["target"], fov_deg=fov_deg)
+        return Camera.look_at(p["origin"], p["target"], up=up_hint,
+                              fov_deg=fov_deg)
 
     if engine == "physical":
         from ..models.physical import render_physical
@@ -588,20 +597,28 @@ def fit_camera(
     # misaligns every pixel), so Adam routinely overshoots the minimum
     # and oscillates after converging — return the BEST-seen pose, not
     # the last iterate (measured: min loss 3e-6 vs final 0.39 on the
-    # recovery test without this).
-    best = {"loss": float("inf"), "params": params}
+    # recovery test without this). The best pose rides INSIDE the
+    # fit-loop state so checkpoint/resume restores it too (review r5:
+    # a session-local best would silently return the initial pose on a
+    # resumed/completed-checkpoint run).
+    state = {"opt": params, "best": params,
+             "best_loss": jnp.float32(jnp.inf)}
 
-    def step(params, opt_state, seed):
-        loss, grads = value_and_grad(params, seed)
-        l_ = float(loss)
-        if l_ < best["loss"]:
-            best["loss"], best["params"] = l_, params
+    def step(state, opt_state, seed):
+        loss, grads = value_and_grad(state["opt"], seed)
+        better = loss < state["best_loss"]
+        best = jax.tree_util.tree_map(
+            lambda b, c: jnp.where(better, c, b), state["best"],
+            state["opt"],
+        )
         updates, opt_state = opt.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        new_p = optax.apply_updates(state["opt"], updates)
+        new_state = {"opt": new_p, "best": best,
+                     "best_loss": jnp.minimum(state["best_loss"], loss)}
+        return new_state, opt_state, loss
 
-    _, losses = _run_fit_loop(
-        step, params, opt_state, steps, seed0, callback,
+    state, losses = _run_fit_loop(
+        step, state, opt_state, steps, seed0, callback,
         checkpoint_path, checkpoint_every,
     )
-    return cam_of(best["params"]), losses
+    return cam_of(state["best"]), losses

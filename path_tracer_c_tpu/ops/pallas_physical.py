@@ -1378,12 +1378,11 @@ def _phys_fused_kernel(
     the bounce (no replay, no suffix dependence) and the backward stays
     a contraction. Same contract as the two-pass backward: emitter
     ordinals >= n_em_cap and non-emitter geometry get zeros."""
-    if count_rounds:
-        (cnt_ref, p_store, mk_store, alb_store, e_store, nee_store,
-         emw_store, dr_store, mat_store, emat_store, rg_store) = rest
-    else:
-        (p_store, mk_store, alb_store, e_store, nee_store, emw_store,
-         dr_store, mat_store, emat_store, rg_store) = rest
+    rest = list(rest)
+    cnt_ref = rest.pop(0) if count_rounds else None
+    (p_store, mk_store, alb_store, e_store, nee_store, emw_store,
+     dr_store, mat_store, emat_store) = rest[:9]
+    rg_store = rest[9] if rough_grad else None
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     if count_rounds:
@@ -1745,8 +1744,9 @@ def _phys_fused_kernel(
 
 # Per-bounce fused-kernel scratch planes, counted from the scratch_shapes
 # list below: p 3 + mk 4 + alb 3 + e 3 + nee 3 + emw 3 + dr 1 + mat 1 +
-# emat 1 + rg 1 (the two i32 planes cost the same VMEM as f32).
-_PHYS_FUSED_BOUNCE_PLANES = 23
+# emat 1 (the two i32 planes cost the same VMEM as f32); rough_grad
+# adds the rg plane (allocated — and budgeted — only then).
+_PHYS_FUSED_BOUNCE_PLANES = 22
 
 
 def phys_fused_tile(scene, rows, width, max_bounces, tile=PHYS_BWD_TILE,
@@ -1756,7 +1756,7 @@ def phys_fused_tile(scene, rows, width, max_bounces, tile=PHYS_BWD_TILE,
     accounting (bench.py)."""
     return _fit_tile(
         rows, width, tile, scene.num_materials, max_bounces,
-        bounce_planes=_PHYS_FUSED_BOUNCE_PLANES,
+        bounce_planes=_PHYS_FUSED_BOUNCE_PLANES + (1 if rough_grad else 0),
         mat_planes=12 if rough_grad else 9,
         fixed_planes=6 + 12 * n_em_cap + 27 * tri_em_cap,
     )
@@ -1879,8 +1879,11 @@ def render_physical_pallas_fused(
             pltpu.VMEM((bplus, th, tw), jnp.float32),  # dr_store
             pltpu.VMEM((bplus, th, tw), jnp.int32),  # mat_store
             pltpu.VMEM((bplus, th, tw), jnp.int32),  # emat_store
-            pltpu.VMEM((bplus, th, tw), jnp.float32),  # rg_store
-        ],
+        ] + (
+            # score-function lobe-derivative plane, rough_grad only
+            [pltpu.VMEM((bplus, th, tw), jnp.float32)]  # rg_store
+            if rough_grad else []
+        ),
         interpret=interpret,
     )(*operands)
     if count_rounds:

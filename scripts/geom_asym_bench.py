@@ -115,8 +115,7 @@ def main():
         SPPB, BB = 8, 4
     rays_b = rays_per_render(HB, WB, SPPB, BB)
 
-    b = pt.SceneBuilder(sky_color=scene.sky_color)
-    # rebuild glossy's materials/objects + a quad lamp
+    # glossy's materials/objects + an appended quad lamp
     tri_scene = demo.glossy_scene()
     import dataclasses
 

@@ -1222,3 +1222,62 @@ def test_phys_fused_rough_grad_fit():
     err1 = abs(float(fitted.materials.roughness[0]) - r_true)
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
     assert err1 < err0 * 0.5, (err0, err1)
+
+
+def test_phys_fused_all_flags_compose():
+    """All opt-in estimator features at once — geom (sphere planes),
+    tri_nee (+vertex planes), rough_grad (+score-function planes) — in
+    ONE fused kernel pass: every cotangent family matches core AD on
+    the mixed black-lights scene (roughness via the core rough_grad
+    tangent; geometry via the NEE chains, which are the whole core
+    gradient here)."""
+    import dataclasses
+
+    import jax
+
+    from path_tracer_c_tpu.ops.pallas_physical import (
+        render_physical_pallas_vjp,
+    )
+
+    base = _tri_nee_black_lights_scene()
+    # give the ground some speculars so roughness matters
+    scene = dataclasses.replace(
+        base,
+        materials=dataclasses.replace(
+            base.materials,
+            roughness=base.materials.roughness.at[0].set(0.6),
+        ),
+    )
+    h, w, spp, bounces = 16, 128, 4, 3
+    target = jnp.zeros((h, w, 3), jnp.float32)
+
+    fast = lambda sc: render_physical_pallas_vjp(
+        sc, CAM, h, w, spp, bounces, jnp.uint32(5), jitter=False,
+        geom=True, tri_nee=True, rough_grad=True)
+    core = lambda sc: render_physical(
+        sc, CAM, h, w, spp, bounces, jnp.uint32(5), jitter=False,
+        tri_nee=True, rough_grad=True)
+    gF = jax.grad(lambda sc: jnp.mean((fast(sc) - target) ** 2),
+                  allow_int=True)(scene)
+    gC = jax.grad(lambda sc: jnp.mean((core(sc) - target) ** 2),
+                  allow_int=True)(scene)
+    checks = [
+        ("roughness", np.asarray(gF.materials.roughness),
+         np.asarray(gC.materials.roughness)),
+        ("albedo", np.asarray(gF.materials.albedo),
+         np.asarray(gC.materials.albedo)),
+        ("sphere center", np.asarray(gF.spheres.center),
+         np.asarray(gC.spheres.center)),
+        ("sphere radius", np.asarray(gF.spheres.radius),
+         np.asarray(gC.spheres.radius)),
+        ("tri v0", np.asarray(gF.triangles.v0)[2:],
+         np.asarray(gC.triangles.v0)[2:]),  # lamp triangles only: the
+        # ground triangles' core gradient carries continuation terms
+        # the fused contract excludes
+        ("tri v1", np.asarray(gF.triangles.v1)[2:],
+         np.asarray(gC.triangles.v1)[2:]),
+    ]
+    for name, a, c in checks:
+        den = max(np.abs(c).max(), 1e-12)
+        assert np.abs(a - c).max() / den < 1e-2, (name, a, c)
+        assert np.abs(c).max() > 1e-10, (name, "core grad zero")
