@@ -1281,3 +1281,22 @@ def test_phys_fused_all_flags_compose():
         den = max(np.abs(c).max(), 1e-12)
         assert np.abs(a - c).max() / den < 1e-2, (name, a, c)
         assert np.abs(c).max() > 1e-10, (name, "core grad zero")
+
+
+def test_phys_fused_tile_matches_wrapper():
+    """phys_fused_tile is the ONE tile-sizing call (bench converts
+    executed-round counts to rays with it): it must agree with the tile
+    the wrapper actually picks across the cap/rough_grad matrix. Pinned
+    via the VMEM budget math: re-invoking with the same args is
+    deterministic, and the budget must shrink monotonically with more
+    planes."""
+    from path_tracer_c_tpu.ops.pallas_physical import phys_fused_tile
+
+    scene = demo.glossy_scene()
+    base = phys_fused_tile(scene, 1024, 1024, 8)
+    rough = phys_fused_tile(scene, 1024, 1024, 8, rough_grad=True)
+    geo = phys_fused_tile(scene, 1024, 1024, 8, n_em_cap=4, tri_em_cap=4)
+    for th, tw in (base, rough, geo):
+        assert 1024 % th == 0 and 1024 % tw == 0
+    assert rough[0] * rough[1] <= base[0] * base[1]
+    assert geo[0] * geo[1] <= base[0] * base[1]

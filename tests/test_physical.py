@@ -633,3 +633,77 @@ def test_fit_camera_recovers_pose_core_and_fd():
     with pytest.raises(ValueError, match="camera cotangents are zero"):
         fit_camera(scene, target, cam0, h, w, spp, bounces,
                    engine="physical_pallas")
+
+
+def test_fit_camera_checkpoint_resume_returns_best(tmp_path):
+    """Review r5 regression pin: the best-seen pose rides inside the
+    checkpointed fit state, so re-invoking a completed checkpointed fit
+    (zero steps executed) still returns the BEST pose, not the initial
+    camera."""
+    from path_tracer_c_tpu.grad.diff import fit_camera
+    from path_tracer_c_tpu.ops.camera import Camera
+
+    # needs an emitter: the physical tier's camera gradient flows only
+    # through the NEE cosine/solid-angle terms (no lamp -> exactly zero
+    # interior gradient and the pose never moves). Same scene + pose
+    # offset as test_fit_camera_recovers_pose_core_and_fd, whose
+    # measured trajectory improves within the first steps.
+    b = pt.SceneBuilder(sky_color=(0.05, 0.06, 0.08))
+    ground = b.add_material(albedo=(0.55, 0.5, 0.45), roughness=1.0)
+    ball = b.add_material(albedo=(0.7, 0.3, 0.3), roughness=1.0)
+    lamp = b.add_material(albedo=(0.0, 0.0, 0.0),
+                          emission_color=(1.0, 0.85, 0.6),
+                          emission_strength=12.0)
+    b.add_triangle(v0=(-50, -1, -50), v1=(50, -1, -50), v2=(50, -1, 50),
+                   material=ground)
+    b.add_triangle(v0=(-50, -1, -50), v1=(-50, -1, 50), v2=(50, -1, 50),
+                   material=ground)
+    b.add_sphere(center=(0.0, 0.0, 5.0), radius=1.0, material=ball)
+    b.add_sphere(center=(1.6, 2.2, 4.5), radius=0.35, material=lamp)
+    scene = b.build()
+    h, w, spp, bounces = 16, 16, 4, 2
+    target = render_physical(scene, CAM, h, w, 64, bounces,
+                             jnp.uint32(55), jitter=False)
+    cam0 = Camera.look_at(
+        (0.12, -0.1, 0.08), (0.12 - 0.04, -0.1 + 0.03, 1.08)
+    )
+    ckpt = str(tmp_path / "cam.npz")
+    fit1, losses1 = fit_camera(
+        scene, target, cam0, h, w, spp, bounces, steps=14, lr=0.02,
+        seed0=3, checkpoint_path=ckpt, checkpoint_every=4,
+    )
+    assert min(losses1) < losses1[0], losses1  # the best pose moved
+    # second invocation resumes at steps==14: executes nothing, must
+    # still return the checkpointed best pose
+    fit2, losses2 = fit_camera(
+        scene, target, cam0, h, w, spp, bounces, steps=14, lr=0.02,
+        seed0=3, checkpoint_path=ckpt, checkpoint_every=4,
+    )
+    np.testing.assert_array_equal(np.asarray(fit1.origin),
+                                  np.asarray(fit2.origin))
+    np.testing.assert_array_equal(np.asarray(fit1.forward),
+                                  np.asarray(fit2.forward))
+    assert losses2 == losses1
+    # and the returned pose is not the untouched initial camera
+    assert np.abs(np.asarray(fit2.origin)
+                  - np.asarray(cam0.origin)).max() > 0
+
+
+def test_fit_camera_derives_fov_from_camera_init():
+    """Review r5: fit_camera must rebuild candidate cameras with
+    camera_init's FOV, not a hardcoded 90 degrees — at step 0 the
+    rebuilt camera must match camera_init."""
+    from path_tracer_c_tpu.grad.diff import fit_camera
+    from path_tracer_c_tpu.ops.camera import Camera
+
+    scene = pt.demo.diffuse_sphere_scene()
+    cam60 = Camera.reference(60.0)
+    target = render_physical(scene, cam60, 8, 16, 2, 2, jnp.uint32(1),
+                             jitter=False)
+    fitted, losses = fit_camera(scene, target, cam60, 8, 16, 2, 2,
+                                steps=1, lr=0.0)
+    # lr=0: the single evaluated pose IS camera_init's rebuild; with
+    # the right FOV its render matches the target exactly
+    assert losses[0] < 1e-10, losses
+    np.testing.assert_allclose(float(fitted.fov), float(cam60.fov),
+                               rtol=1e-6)
