@@ -69,17 +69,21 @@ from . import pallas_kernels as fk
 
 __all__ = [
     "render_pallas_fused", "render_pallas_bwd", "contract_jacobian",
-    "BWD_TILE",
+    "BWD_TILE", "FUSED_TILE",
 ]
 
-# Fused-kernel tile. Like the round-2 backward, per-bounce stores live in
-# VMEM scratch (not loop-carried vregs), so larger tiles amortize the
-# per-material accumulator loop; the n_mat-dependent Jacobian output block
-# bounds it (see _fit_tile).
-# r5 post-unroll sweep (1024^2/64spp/8b glossy, docs/
-# fused_tile_sweep_r5.txt): (32,128)=2.68, (64,128)=2.86, (128,128)=2.84,
-# (64,256)=2.75 Grays/s — (64,128) confirmed optimal.
+# Two-pass (oracle) backward tile. Like the round-2 backward, per-bounce
+# stores live in VMEM scratch (not loop-carried vregs), so larger tiles
+# amortize the per-material accumulator loop; the n_mat-dependent
+# Jacobian output block bounds it (see _fit_tile).
 BWD_TILE = (64, 128)
+
+# Fused primal+Jacobian kernel tile. The r5 accumulation-loop unrolling
+# interacts with tile height: with the mat_body plane-RMWs unrolled the
+# sweet spot drops to (32,128) — measured (1024^2/64spp/8b glossy):
+# rolled-acc (32,128)=2.75, (64,128)=2.90; UNROLLED-acc (16,128)=3.11,
+# (32,128)=3.34, (64,128)=2.47 Grays/s. Unrolled @ (32,128) wins +15%.
+FUSED_TILE = (32, 128)
 
 # Per-material Jacobian planes: A[3] + S[3] + R[3] (module docstring).
 _MAT_J_PLANES = 9
@@ -460,13 +464,11 @@ def _fused_kernel(
                     accumulate()
                 return 0
 
-            # NOT unrolled (unlike the physical fused kernel's twin):
-            # measured 2.47 vs 2.86 Grays/s unrolled-vs-rolled at this
-            # kernel's (64,128) tile — 15 materials x 9 static-indexed
-            # plane RMWs per bounce bloat the unrolled body past the
-            # scheduler's sweet spot, while the physical kernel's
-            # (32,128) tile gains +14% from the same change.
-            jax.lax.fori_loop(0, n_mat, mat_body, 0)
+            # unrolled accumulation (static j_ref plane indices), paired
+            # with the (32,128) FUSED_TILE: see the tile-choice comment
+            # — unrolling at the old (64,128) tile REGRESSED (2.47 vs
+            # 2.90), at (32,128) it wins (3.34).
+            fk._scene_loop(n_mat, mat_body, 0)
 
             # carry: T_{b-1} = Le_b + albedo_b * T_b (hit), sky (miss),
             # pass-through (lane already dead — value never consumed).
@@ -536,7 +538,7 @@ def _fused_kernel(
         cnt_ref[0, 0] = cnt_ref[0, 0] + acc[3]
 
 
-def fused_tile(scene, rows, width, max_bounces, tile=BWD_TILE):
+def fused_tile(scene, rows, width, max_bounces, tile=FUSED_TILE):
     """The (th, tw) kernel tile render_pallas_fused will pick for this
     workload — the executed-round counter's rays-per-round factor
     (bench.py converts counts to executed rays with it)."""
@@ -597,7 +599,7 @@ def render_pallas_fused(
     max_bounces: int,
     seed,
     sample_offset=0,
-    tile=BWD_TILE,
+    tile=FUSED_TILE,
     interpret: bool = False,
     row_start=0,
     rows: int | None = None,
