@@ -81,10 +81,16 @@ _TWO_PI = np.float32(2.0 * math.pi)
 
 # Backward tile: the replay stores 15 planes per bounce (see
 # _phys_bwd_kernel scratch) so the default tile is half the forward's.
-# r5 post-unroll sweep (docs/fused_tile_sweep_r5.txt): fused physical
-# (16,128)=1.56, (32,128)=1.74, (64,128)=1.70, (32,256)=1.70 Grays/s —
-# (32,128) confirmed optimal.
+# Two-pass (oracle) backward tile.
 PHYS_BWD_TILE = (32, 128)
+
+# Fused physical primal+Jacobian tile. With the accumulation loops
+# UNROLLED (r5) the sweet spot drops a step, like the reference fused
+# kernel's: measured 1024^2/64spp/8b glossy, unrolled-acc —
+# materials (16,128)=2.02, (32,128)=1.96, (64,128)=1.97; geom
+# (16,128)=1.86, (32,128)=1.81. (Rolled-acc r5 sweep had (32,128)
+# best at 1.74 — docs/fused_tile_sweep_r5.txt.)
+PHYS_FUSED_TILE = (16, 128)
 _PHYS_BOUNCE_PLANES = 15
 
 
@@ -1749,11 +1755,14 @@ def _phys_fused_kernel(
 _PHYS_FUSED_BOUNCE_PLANES = 22
 
 
-def phys_fused_tile(scene, rows, width, max_bounces, tile=PHYS_BWD_TILE,
+def phys_fused_tile(scene, rows, width, max_bounces,
+                    tile=None,
                     n_em_cap=0, tri_em_cap=0, rough_grad=False):
     """The (th, tw) tile render_physical_pallas_fused will pick — the
     ONE tile-sizing call shared by the wrapper and the executed-round
     accounting (bench.py)."""
+    if tile is None:
+        tile = PHYS_FUSED_TILE
     return _fit_tile(
         rows, width, tile, scene.num_materials, max_bounces,
         bounce_planes=_PHYS_FUSED_BOUNCE_PLANES + (1 if rough_grad else 0),
@@ -1779,7 +1788,7 @@ def render_physical_pallas_fused(
     max_bounces: int,
     seed,
     sample_offset=0,
-    tile=PHYS_BWD_TILE,
+    tile=None,  # defaults to PHYS_FUSED_TILE via phys_fused_tile
     interpret: bool = False,
     row_start=0,
     rows: int | None = None,
